@@ -1,0 +1,50 @@
+"""Single-device end-to-end engine: FASTQ batch -> smoothed FASTQ batch.
+
+This is the jitted composition of the compute path (build_ebwt -> smooth ->
+lf -> invert), the TPU equivalent of one `bfq_int` invocation
+(reference BFQzip.py:206-228).  Shapes are static in (N, L); the pipeline is
+recompiled per shape bucket and cached by jax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bfqzip_tpu.config import SmoothConfig
+from bfqzip_tpu.io.fastq import ReadBatch
+from bfqzip_tpu.ops.invert import InvertOut, invert
+from bfqzip_tpu.ops.rank import lf_array
+from bfqzip_tpu.ops.smooth import smooth
+from bfqzip_tpu.ops.suffix import build_ebwt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def smooth_step(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, cfg: SmoothConfig):
+    """The full device-side pipeline on a padded [N, L] read batch."""
+    n_reads, width = seqs.shape
+    ebwt = build_ebwt(seqs, quals, lengths)
+    out = smooth(ebwt, cfg)
+    valid = jnp.arange(ebwt.bwt.shape[0], dtype=jnp.int32) < ebwt.n
+    lf = lf_array(ebwt.bwt, valid)
+    inv = invert(ebwt.bwt, out.bwt_sub, out.qs, lf, n_reads, width, binning=cfg.binning)
+    return inv, out.stats
+
+
+def smooth_fastq(batch: ReadBatch, cfg: SmoothConfig | None = None) -> Tuple[ReadBatch, dict]:
+    """Host wrapper: numpy ReadBatch in, smoothed numpy ReadBatch out."""
+    cfg = cfg or SmoothConfig()
+    inv, stats = smooth_step(
+        jnp.asarray(batch.seqs), jnp.asarray(batch.quals), jnp.asarray(batch.lengths), cfg
+    )
+    out = ReadBatch(
+        seqs=np.asarray(inv.seqs),
+        quals=np.asarray(inv.quals),
+        lengths=np.asarray(inv.lengths).astype(np.int32),
+        headers=batch.headers,
+    )
+    return out, {k: int(v) for k, v in stats.items()}

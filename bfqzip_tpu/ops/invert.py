@@ -1,0 +1,71 @@
+"""EBWT inversion: reconstruct all reads by a lock-step backward LF walk.
+
+Replaces the reference's per-read pointer-chasing loop (bfq_int.cpp:748-819)
+and the file-seeking BCR decoder (decode.cpp:499-686): all N reads advance one
+LF step per iteration, which turns the reconstruction into L batched gathers —
+the dense analog of decodeBCRmultipleReverse's pair queues, with the "cyc"
+column files + out-of-core transpose (decode.cpp:409-496) collapsing into a
+single [L, N] -> [N, L] transpose and per-row flip.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bfqzip_tpu import alphabet
+
+
+class InvertOut(NamedTuple):
+    seqs: jax.Array  # [N, L] u8 codes, zero-padded
+    quals: jax.Array  # [N, L] u8 raw ASCII, zero-padded
+    lengths: jax.Array  # [N] i32
+
+
+def illumina_bin_jax(qs: jax.Array) -> jax.Array:
+    """Illumina 8-level binning on raw ASCII qualities (bfq_int.cpp:307-319)."""
+    q = qs.astype(jnp.int32) - 33
+    out = q
+    for lo, v in ((2, 6), (10, 15), (20, 22), (25, 27), (30, 33), (35, 37), (40, 40)):
+        out = jnp.where(q >= lo, v, out)
+    return (out + 33).astype(jnp.uint8)
+
+
+def invert(
+    bwt: jax.Array,
+    bwt_sub: jax.Array,
+    qs: jax.Array,
+    lf: jax.Array,
+    n_reads: int,
+    width: int,
+    binning: bool = False,
+) -> InvertOut:
+    """Walk LF from BWT positions 0..N-1 (the terminator suffixes in read
+    order, bfq_int.cpp:775-791), collecting substituted bases and smoothed
+    qualities right-to-left, then reverse each row to read order.
+    """
+    if binning:
+        qs = illumina_bin_jax(qs)
+
+    pos0 = jnp.arange(n_reads, dtype=jnp.int32)
+
+    def step(pos, _):
+        c = bwt[pos]
+        active = c != alphabet.TERM
+        b = jnp.where(active, bwt_sub[pos], 0)
+        q = jnp.where(active, qs[pos], 0)
+        nxt = jnp.where(active, lf[pos], pos)
+        return nxt, (b, q, active)
+
+    _, (bcols, qcols, act) = jax.lax.scan(step, pos0, None, length=width)
+    lengths = jnp.sum(act.astype(jnp.int32), axis=0, dtype=jnp.int32)  # [N]
+
+    # emitted column t holds read char at index len-1-t; reverse via gather
+    t_idx = lengths[None, :] - 1 - jnp.arange(width, dtype=jnp.int32)[:, None]  # [L, N]
+    ok = t_idx >= 0
+    t_clamped = jnp.maximum(t_idx, 0)
+    seqs = jnp.where(ok, jnp.take_along_axis(bcols, t_clamped, axis=0), 0).T
+    quals = jnp.where(ok, jnp.take_along_axis(qcols, t_clamped, axis=0), 0).T
+    return InvertOut(seqs=seqs, quals=quals, lengths=lengths)

@@ -7,7 +7,18 @@ path).  These env vars must be set before jax initialises its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the real TPU
+# tunnel), which must never be grabbed by unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# x64 so the M=1 (mean-error) strategy matches the reference's C doubles.
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+# pytest plugins may import jax before this conftest runs, in which case the
+# env vars above were read too late — force the config directly.
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

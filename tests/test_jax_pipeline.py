@@ -1,0 +1,91 @@
+"""Validate the JAX compute path against the numpy model and the reference
+binary's golden outputs (byte equality of the reconstructed FASTQ)."""
+
+import numpy as np
+import pytest
+
+from bfqzip_tpu import alphabet, ref_golden
+from bfqzip_tpu.config import SmoothConfig
+from bfqzip_tpu.engine import smooth_fastq
+from bfqzip_tpu.io.fastq import format_fastq, read_fastq
+from bfqzip_tpu.ops.suffix import build_ebwt
+
+from conftest import golden_path
+from tests_util import tiny_batch
+
+
+def _load(name):
+    return read_fastq(golden_path(f"{name}.in.fastq"))
+
+
+@pytest.mark.parametrize("dataset", ["example", "synth_var"])
+def test_ebwt_matches_numpy(dataset):
+    batch = _load(dataset)
+    ref = ref_golden.build_ebwt(batch)
+    dev = build_ebwt(np.asarray(batch.seqs), np.asarray(batch.quals), np.asarray(batch.lengths))
+    n = int(dev.n)
+    assert n == ref.bwt.size
+    assert np.array_equal(np.asarray(dev.bwt)[:n], ref.bwt)
+    assert np.array_equal(np.asarray(dev.qs)[:n], ref.qs)
+    assert np.array_equal(np.asarray(dev.lcp)[:n], ref.lcp)
+
+
+def test_ebwt_random_tiny():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        batch = tiny_batch(rng, n_reads=25, min_len=2, max_len=14)
+        ref = ref_golden.build_ebwt(batch)
+        dev = build_ebwt(np.asarray(batch.seqs), np.asarray(batch.quals), np.asarray(batch.lengths))
+        n = int(dev.n)
+        assert np.array_equal(np.asarray(dev.bwt)[:n], ref.bwt)
+        assert np.array_equal(np.asarray(dev.lcp)[:n], ref.lcp)
+
+
+@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_golden_byte_equality(dataset, mode):
+    batch = _load(dataset)
+    out, _ = smooth_fastq(batch, SmoothConfig(mode=mode))
+    golden = open(golden_path(f"{dataset}.m{mode}b0.fq"), "rb").read()
+    assert format_fastq(out, headers=None) == golden
+
+
+@pytest.mark.parametrize("dataset", ["example", "synth_var"])
+def test_golden_binning(dataset):
+    batch = _load(dataset)
+    out, _ = smooth_fastq(batch, SmoothConfig(mode=2, binning=True))
+    golden = open(golden_path(f"{dataset}.m2b1.fq"), "rb").read()
+    assert format_fastq(out, headers=None) == golden
+
+
+def test_stats_match_numpy_model():
+    batch = _load("example")
+    cfg = SmoothConfig(mode=2)
+    _, stats = smooth_fastq(batch, cfg)
+    _, ref_stats = ref_golden.smooth_fastq(batch, cfg)
+    for k in (
+        "num_clust",
+        "num_clust_discarded",
+        "num_clust_amb_discarded",
+        "num_clust_mod",
+        "num_clust_alleq",
+        "bases_inside",
+        "modified",
+        "qs_smoothed",
+    ):
+        assert stats[k] == getattr(ref_stats, k), k
+
+
+def test_smooth_random_vs_numpy():
+    rng = np.random.default_rng(11)
+    for seed in range(3):
+        batch = tiny_batch(rng, n_reads=60, min_len=8, max_len=24, n_frac=0.03)
+        cfg = SmoothConfig(mode=2, k=4, min_cluster=3)
+        out_jax, st_jax = smooth_fastq(batch, cfg)
+        out_np, st_np = ref_golden.smooth_fastq(batch, cfg)
+        assert np.array_equal(out_jax.lengths, out_np.lengths)
+        w = out_np.max_len
+        assert np.array_equal(out_jax.seqs[:, :w], out_np.seqs)
+        assert np.array_equal(out_jax.quals[:, :w], out_np.quals)
+        assert st_jax["modified"] == st_np.modified
+        assert st_jax["qs_smoothed"] == st_np.qs_smoothed
