@@ -1,16 +1,24 @@
 """Positional clustering + noise reduction + quality smoothing, vectorised.
 
 Replaces the sequential cluster scan and per-cluster loops of the reference
-(bfq_int.cpp:376-737) with segment reductions over the whole EBWT:
+(bfq_int.cpp:376-737) with interval reductions over the whole EBWT.  The
+kernel-level design targets TPU execution cost = (few fused passes) rather
+than a literal translation:
 
   * LCP_threshold / LCP_minima are elementwise predicates on the explicit LCP
     array (the LCP-array form of the suffix-tree traversal, see
-    ref_golden.lcp_bitvectors for the equivalence argument),
+    ref_golden.lcp_bitvectors for the equivalence argument);
   * clusters are maximal runs of (threshold & ~minima) extended one position
-    left (border=1, bfq_int.cpp:67,416-417),
-  * per-cluster statistics (symbol frequencies, trusted flags, replacement
-    quality under M=0..3) are jax.ops.segment_* reductions keyed by a cluster-id
-    array derived from a cumulative sum of run-open marks,
+    left (border=1, bfq_int.cpp:67,416-417).  Runs shorter than
+    min_cluster-1 are filtered out before numbering — the reference discards
+    them before touching any counter (bfq_int.cpp:422), and filtering bounds
+    the cluster count by n/min_cluster, shrinking every per-cluster array;
+  * ALL per-cluster sums ride ONE cumulative-sum over a masked [n, C] channel
+    matrix, sampled by a single row-gather at cluster ends (channels are
+    masked to cluster members, so prefix sums are constant between clusters
+    and consecutive end-samples difference to per-cluster sums);
+  * per-cluster decisions are packed into one 30-bit word so a single gather
+    word[cid] drives every per-position update;
   * the SNP-candidate rule for two frequent symbols uses predecessor symbols
     bwt[LF[j]] — a single global gather instead of per-occurrence pointer
     chasing (bfq_int.cpp:545-611).
@@ -34,20 +42,25 @@ from bfqzip_tpu.ops.suffix import EbwtDevice
 # reference ord order (bfq_int.cpp:106-110): index o -> alphabet code
 _ORD_CODES = (alphabet.A, alphabet.C, alphabet.G, alphabet.T, alphabet.N)
 _N_ORD = 4  # index of 'N' in ord order — always last, so FreqSymb[0] is never N
+# code -> ord (TERM/PAD -> 0, harmless under masks)
+_CODE2ORD = (0, 0, 1, 2, 4, 3, 0, 0)
+
+# decision-word bit layout
+_B_SINGLE = 0
+_B_TWO = 1
+_B_SSYM = 2  # 3 bits
+_B_F0 = 5  # 3 bits
+_B_F1 = 8  # 3 bits
+_B_P0 = 11  # 3 bits
+_B_P1 = 14  # 3 bits
+_B_NEWQS = 17  # 8 bits
+_B_HIGH = 25  # 5 bits, ord order
 
 
 class SmoothOut(NamedTuple):
     bwt_sub: jax.Array  # [n_pad] u8, base-corrected BWT
     qs: jax.Array  # [n_pad] u8, smoothed qualities
-    stats: dict  # reference counters, scalar i64
-
-
-def _seg_sum(data, cid, ncap):
-    return jax.ops.segment_sum(data, cid, num_segments=ncap, indices_are_sorted=True)
-
-
-def _seg_max(data, cid, ncap):
-    return jax.ops.segment_max(data, cid, num_segments=ncap, indices_are_sorted=True)
+    stats: dict  # reference counters, scalar i32
 
 
 def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
@@ -55,6 +68,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     n_pad = bwt.shape[0]
     pos = jnp.arange(n_pad, dtype=jnp.int32)
     valid = pos < n
+    m = cfg.min_cluster
 
     # ---- bitvectors (bfq_int.cpp:183-300 via the LCP array) ----
     thr = (lcp >= cfg.k) & valid
@@ -63,53 +77,87 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     minima = (lcp < lcp_prev) & (lcp_next >= lcp) & (pos >= 1) & (pos <= n - 2)
     pred = thr & ~minima
 
-    # ---- maximal runs -> clusters [run_start-1, run_end] ----
+    # ---- eligible runs -> clusters [run_start-1, run_end] ----
+    pred_prev = jnp.concatenate([jnp.zeros((1,), bool), pred[:-1]])
     pred_next = jnp.concatenate([pred[1:], jnp.zeros((1,), bool)])
-    open_mark = ~pred & pred_next  # position run_start-1 opens the cluster
-    in_cluster = pred | open_mark
-    cid_all = jnp.cumsum(open_mark.astype(jnp.int32), dtype=jnp.int32) - 1  # valid where in_cluster
+    rs_mark = pred & ~pred_prev
+    # run has length >= m-1 iff pred holds at its first m-1 positions
+    ext = pred
+    for t in range(1, max(m - 1, 1)):
+        ext = ext & jnp.concatenate([pred[t:], jnp.zeros((t,), bool)])
+    elig_start = rs_mark & ext
+    # propagate eligibility across each run (cummax of start positions)
+    run_start = jax.lax.cummax(jnp.where(elig_start, pos, -1))
+    in_run_elig = pred & (run_start >= 0) & (run_start <= pos)
+    # ... but run_start could point at an older eligible run across a gap;
+    # cut at the most recent run boundary:
+    last_gap = jax.lax.cummax(jnp.where(~pred, pos, -1))
+    in_run_elig = in_run_elig & (run_start > last_gap)
 
-    ncap = n_pad // 2 + 2
+    open_mark = ~pred & jnp.concatenate([in_run_elig[1:], jnp.zeros((1,), bool)])
+    in_cluster = in_run_elig | open_mark
+    cid_all = jnp.cumsum(open_mark.astype(jnp.int32), dtype=jnp.int32) - 1
+
+    ncap = n_pad // max(m, 2) + 2
     dump = ncap - 1
     cid = jnp.where(in_cluster, cid_all, dump)
-
-    c_start = jnp.zeros((ncap,), jnp.int32).at[jnp.where(open_mark, cid_all, dump)].set(pos)
-    close_mark = pred & ~pred_next
+    close_mark = in_run_elig & ~pred_next
     c_end = jnp.zeros((ncap,), jnp.int32).at[jnp.where(close_mark, cid_all, dump)].set(pos)
-    c_size = c_end - c_start + 1
-    c_active = c_size >= cfg.min_cluster  # bfq_int.cpp:422
 
-    nonterm = in_cluster & (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA))
+    nonterm_pos = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA))
     qt = cfg.quality_threshold + 33
 
-    # ---- per-cluster symbol stats ----
-    freq = []
-    high = []  # "lowQS" flag of the reference: 1 iff some occurrence has QS >= qt
+    # ---- one fused channel matrix, one cumsum, one end-sample row-gather ----
+    lf = lf_array(bwt, valid)
+    pre = bwt[lf]  # symbol preceding each BWT position
+
+    chans = []  # list of [n_pad] i32, masked to cluster members
+    mask_i = in_cluster.astype(jnp.int32)
     for code in _ORD_CODES:
-        is_c = nonterm & (bwt == code)
-        freq.append(_seg_sum(is_c.astype(jnp.int32), cid, ncap))
-        high.append(_seg_max(jnp.where(is_c & (qs >= qt), 1, 0).astype(jnp.int32), cid, ncap))
-    c_freq = jnp.stack(freq, axis=1)  # [ncap, 5] in ord order
-    c_high = jnp.stack(high, axis=1)
+        chans.append((bwt == code).astype(jnp.int32) * mask_i)  # freq, 5
+    for code in _ORD_CODES:
+        chans.append(((bwt == code) & (qs >= qt)).astype(jnp.int32) * mask_i)  # high, 5
+    # predecessor-presence channels for the SNP rule: (symbol s, predecessor d)
+    for s in (alphabet.A, alphabet.C, alphabet.G, alphabet.T):
+        for d in (alphabet.A, alphabet.C, alphabet.G, alphabet.T):
+            chans.append(((bwt == s) & (pre == d)).astype(jnp.int32) * mask_i)  # 16
+    if cfg.mode == 3:
+        chans.append(jnp.where(nonterm_pos, qs.astype(jnp.int32), 0) * mask_i)
+    X = jnp.stack(chans, axis=1)  # [n_pad, C]
+    inc = jnp.cumsum(X, axis=0, dtype=jnp.int32)
+    G = inc[c_end]  # [ncap, C]; garbage rows masked later
+    S = G - jnp.concatenate([jnp.zeros((1, G.shape[1]), jnp.int32), G[:-1]], axis=0)
+
+    c_freq = S[:, 0:5]
+    c_high = (S[:, 5:10] > 0).astype(jnp.int32)
+    c_uall = (S[:, 10:26].reshape(ncap, 4, 4) > 0).astype(jnp.int32)  # [ncap, s, d]
     c_basenum = jnp.sum(c_freq, axis=1, dtype=jnp.int32)
     safe_basenum = jnp.maximum(c_basenum, 1)
+
+    c_start = jnp.zeros((ncap,), jnp.int32).at[jnp.where(open_mark, cid_all, dump)].set(pos)
+    c_size = c_end - c_start + 1
+    c_active = c_size >= m  # bfq_int.cpp:422 (guaranteed by run filtering)
 
     # ---- replacement quality newqs (bfq_int.cpp:307-373,462-473) ----
     if cfg.mode == 2:
         c_newqs = jnp.full((ncap,), cfg.default_qs, jnp.int32)
     elif cfg.mode == 0:
-        c_newqs = _seg_max(jnp.where(nonterm, qs.astype(jnp.int32), 0), cid, ncap)
+        # interval max is not prefix-decomposable; one segment_max only here
+        c_newqs = jax.ops.segment_max(
+            jnp.where(in_cluster & nonterm_pos, qs.astype(jnp.int32), 0),
+            cid,
+            num_segments=ncap,
+            indices_are_sorted=True,
+        )
     elif cfg.mode == 3:
-        c_qsum = _seg_sum(jnp.where(nonterm, qs.astype(jnp.int32), 0), cid, ncap)
-        c_newqs = c_qsum // safe_basenum
-    else:  # mode 1: mean error
-        # The reference computes this in C double (bfq_int.cpp:357-373); use
-        # f64 when x64 is enabled (tests/CLI do) so half-boundary clusters
-        # round identically.  The f32 fallback can differ by +-1 on
-        # adversarially close half-boundaries.
+        c_newqs = S[:, 26] // safe_basenum
+    else:  # mode 1: mean error in the reference's double precision when x64
+        # is on (tests/CLI); f32 fallback can differ +-1 on half-boundaries.
         ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        err = jnp.where(nonterm, jnp.power(ftype(10.0), -(qs.astype(ftype) - 33.0) / 10.0), ftype(0.0))
-        c_esum = _seg_sum(err, cid, ncap)
+        err = jnp.where(nonterm_pos & in_cluster, jnp.power(ftype(10.0), -(qs.astype(ftype) - 33.0) / 10.0), ftype(0.0))
+        einc = jnp.cumsum(err)
+        eG = einc[c_end]
+        c_esum = eG - jnp.concatenate([jnp.zeros((1,), ftype), eG[:-1]])
         avg = c_esum / safe_basenum.astype(ftype)
         # C round(): half away from zero (the argument is always positive here)
         c_newqs = jnp.floor(-10.0 * jnp.log10(jnp.maximum(avg, ftype(1e-300 if ftype == jnp.float64 else 1e-30))) + 0.5).astype(jnp.int32) + 33
@@ -122,7 +170,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     # first/second frequent symbol in ord order A,C,G,T,N
     c_f0 = jnp.min(jnp.where(c_isfreq, ord_idx, 5), axis=1)
     c_f1 = jnp.max(jnp.where(c_isfreq, ord_idx, -1), axis=1)
-    codes_arr = jnp.array(_ORD_CODES + (0,), jnp.uint8)  # index 5 -> harmless 0
+    codes_arr = jnp.array(_ORD_CODES + (0,), jnp.int32)  # index 5 -> harmless 0
     c_f0_code = codes_arr[c_f0]
     c_f1_code = codes_arr[jnp.maximum(c_f1, 0)]
 
@@ -132,60 +180,71 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     #   nf==1 and symbol != N                    (bfq_int.cpp:512-519)
     #   nf==2, base_num >= m, one of them is N   (bfq_int.cpp:528-537)
     c_single1 = c_has_bases & (c_nfreq == 1) & (c_f0 != _N_ORD)
-    c_single2 = c_has_bases & (c_nfreq == 2) & (c_basenum >= cfg.min_cluster) & (c_f1 == _N_ORD)
+    c_single2 = c_has_bases & (c_nfreq == 2) & (c_basenum >= m) & (c_f1 == _N_ORD)
     c_single = c_single1 | c_single2
-    c_two = c_has_bases & (c_nfreq == 2) & (c_basenum >= cfg.min_cluster) & (c_f1 != _N_ORD)
-    c_ssym = c_f0_code  # for both single cases FreqSymb[0] is the non-N symbol
+    c_two = c_has_bases & (c_nfreq == 2) & (c_basenum >= m) & (c_f1 != _N_ORD)
 
     # ---- two-frequent-symbol rule: unique distinct predecessors ----
-    lf = lf_array(bwt, valid)
-    pre = bwt[lf]  # symbol preceding each BWT position (one global gather)
-
-    cl_f0 = c_f0_code[cid]
-    cl_f1 = c_f1_code[cid]
-    u = []
-    for t, cl_f in ((0, cl_f0), (1, cl_f1)):
-        masks = []
-        for d in (alphabet.A, alphabet.C, alphabet.G, alphabet.T):
-            m_ = nonterm & (bwt == cl_f) & (pre == d)
-            masks.append(_seg_max(m_.astype(jnp.int32), cid, ncap))
-        u.append(jnp.stack(masks, axis=1))  # [ncap, 4]
-    pred_codes = jnp.array((alphabet.A, alphabet.C, alphabet.G, alphabet.T, 0), jnp.uint8)
-    c_u0sum = jnp.sum(u[0], axis=1, dtype=jnp.int32)
-    c_u1sum = jnp.sum(u[1], axis=1, dtype=jnp.int32)
-    # with u*sum==1 the single set bit IS the unique predecessor
-    c_p0 = pred_codes[jnp.min(jnp.where(u[0] > 0, jnp.arange(4, dtype=jnp.int32)[None, :], 4), axis=1).astype(jnp.int32)]
-    c_p1 = pred_codes[jnp.min(jnp.where(u[1] > 0, jnp.arange(4, dtype=jnp.int32)[None, :], 4), axis=1).astype(jnp.int32)]
-    c_p0 = jnp.where(c_u0sum == 1, c_p0, jnp.uint8(0))
-    c_p1 = jnp.where(c_u1sum == 1, c_p1, jnp.uint8(0))
+    # select the predecessor-presence rows of the two frequent symbols
+    # (codes A=1,C=2,G=3,T=5 -> row 0..3; N/none only occur under masks)
+    code2sidx = jnp.array((0, 0, 1, 2, 0, 3, 0, 0), jnp.int32)
+    s0 = code2sidx[c_f0_code]
+    s1 = code2sidx[c_f1_code]
+    u0 = jnp.take_along_axis(c_uall, s0[:, None, None], axis=1)[:, 0, :]  # [ncap, 4]
+    u1 = jnp.take_along_axis(c_uall, s1[:, None, None], axis=1)[:, 0, :]
+    pred_codes = jnp.array((alphabet.A, alphabet.C, alphabet.G, alphabet.T, 0), jnp.int32)
+    c_u0sum = jnp.sum(u0, axis=1, dtype=jnp.int32)
+    c_u1sum = jnp.sum(u1, axis=1, dtype=jnp.int32)
+    didx = jnp.arange(4, dtype=jnp.int32)[None, :]
+    c_p0 = pred_codes[jnp.min(jnp.where(u0 > 0, didx, 4), axis=1)]
+    c_p1 = pred_codes[jnp.min(jnp.where(u1 > 0, didx, 4), axis=1)]
+    c_p0 = jnp.where(c_u0sum == 1, c_p0, 0)
+    c_p1 = jnp.where(c_u1sum == 1, c_p1, 0)
     c_two_ok = c_two & (c_u0sum == 1) & (c_u1sum == 1) & (c_p0 != c_p1)
 
-    # ---- apply per-position updates ----
-    cl_single = c_single[cid]
-    cl_two_ok = c_two_ok[cid]
-    cl_ssym = c_ssym[cid]
-    cl_newqs = c_newqs[cid].astype(jnp.uint8)
-    cl_p0 = c_p0[cid]
-    cl_p1 = c_p1[cid]
-    # trusted flag of this position's own symbol (lowQS[ord(bwt[j])])
-    cl_high_own = jnp.zeros((n_pad,), jnp.int32)
-    for o, code in enumerate(_ORD_CODES):
-        cl_high_own = jnp.where(bwt == code, c_high[:, o][cid], cl_high_own)
+    # ---- pack per-cluster decisions into one word; one gather ----
+    high_bits = jnp.zeros((ncap,), jnp.int32)
+    for o in range(5):
+        high_bits = high_bits | (c_high[:, o] << (_B_HIGH + o))
+    word = (
+        c_single.astype(jnp.int32) << _B_SINGLE
+        | c_two_ok.astype(jnp.int32) << _B_TWO
+        | c_f0_code << _B_SSYM  # ssym == FreqSymb[0] for both single cases
+        | c_f0_code << _B_F0
+        | c_f1_code << _B_F1
+        | c_p0 << _B_P0
+        | c_p1 << _B_P1
+        | jnp.clip(c_newqs, 0, 255) << _B_NEWQS
+        | high_bits
+    )
+    w = word[cid]  # [n_pad]
+
+    apply_mask = in_cluster & nonterm_pos
+    cl_single = ((w >> _B_SINGLE) & 1) == 1
+    cl_two_ok = ((w >> _B_TWO) & 1) == 1
+    cl_ssym = ((w >> _B_SSYM) & 7).astype(jnp.uint8)
+    cl_f0 = ((w >> _B_F0) & 7).astype(jnp.uint8)
+    cl_f1 = ((w >> _B_F1) & 7).astype(jnp.uint8)
+    cl_p0 = ((w >> _B_P0) & 7).astype(jnp.uint8)
+    cl_p1 = ((w >> _B_P1) & 7).astype(jnp.uint8)
+    cl_newqs = ((w >> _B_NEWQS) & 0xFF).astype(jnp.uint8)
+    ord_of = jnp.array(_CODE2ORD, jnp.int32)[bwt.astype(jnp.int32)]
+    cl_high_own = (w >> (_B_HIGH + ord_of)) & 1
 
     # single-symbol case (modBasesSmoothQS, bfq_int.cpp:376-405)
-    s_act = nonterm & cl_single
+    s_act = apply_mask & cl_single
     s_replace = s_act & (bwt != cl_ssym) & (cl_high_own == 0)
     s_qs_const = s_act & (bwt == cl_ssym)
     s_qs_min = s_act & (bwt != cl_ssym) & (cl_high_own == 1) & (cl_newqs < qs)
 
     # two-frequent case (bfq_int.cpp:568-611)
-    t_act = nonterm & cl_two_ok
+    t_act = apply_mask & cl_two_ok
     t_isf = (bwt == cl_f0) | (bwt == cl_f1)
     t_candidate = t_act & ~t_isf & (cl_high_own == 0)
     t_rep0 = t_candidate & (pre == cl_p0)
     t_rep1 = t_candidate & (pre == cl_p1) & ~t_rep0
     t_qs_const = t_act & t_isf
-    t_qs_min = t_act & ~t_isf & ~(cl_high_own == 0) & (cl_newqs < qs)
+    t_qs_min = t_act & ~t_isf & (cl_high_own == 1) & (cl_newqs < qs)
 
     bwt_sub = jnp.where(s_replace, cl_ssym, bwt)
     bwt_sub = jnp.where(t_rep0, cl_f0, bwt_sub)
@@ -197,7 +256,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     c_disc = c_has_bases & (
         (c_nfreq == 0)
         | ((c_nfreq == 1) & (c_f0 == _N_ORD))
-        | ((c_nfreq == 2) & (c_basenum < cfg.min_cluster))
+        | ((c_nfreq == 2) & (c_basenum < m))
     )
     real = jnp.arange(ncap, dtype=jnp.int32) < (jnp.max(cid_all) + 1)
     real = real & (jnp.arange(ncap, dtype=jnp.int32) != dump)

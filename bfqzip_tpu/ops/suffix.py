@@ -1,30 +1,40 @@
 """EBWT + quality-permutation + LCP construction as a JAX sort pipeline.
 
 Replaces the reference's external gsufsort / eGap step-1 tools (invoked at
-reference BFQzip.py:184 and BFQzip_ext.py:177).  The construction is a
-prefix-doubling suffix sort over the read collection followed by a windowed
-adjacent-suffix comparison for the LCP — both pure array programs that map onto
-XLA's sort and gather primitives and shard over device meshes.
+reference BFQzip.py:184 and BFQzip_ext.py:177).  The construction is a packed
+prefix-doubling suffix sort over the read collection; the LCP of adjacent
+sorted suffixes is recovered by binary lifting over the doubling ranks — both
+pure array programs that map onto XLA's sort/gather and shard over meshes.
 
 Layout
 ------
-Reads are presented as padded arrays [N, L].  The working text T is the
-row-major padded layout of N*(L+1) i32 symbols:
+Reads are presented as padded arrays [N, L]; position g = r*(L+1) + k denotes
+suffix k of read r (k == len_r is the read's terminator suffix).  Suffix order
+follows gsufsort's convention (built with TERMINATOR=0 DNA=1 at reference
+Makefile:18): per-read terminators are pairwise distinct, smaller than every
+base, ordered by read index.  Padding positions (k > len_r) are given keys
+that sort strictly after all real suffixes, so the n real suffixes occupy
+SA[0:n] and every shape stays static under jit; n = sum(len)+N is only ever
+used as a mask.
 
-    T[r*(L+1) + k] = N + code(s_r[k])   for k <  len_r     (bases)
-                   = r                  for k == len_r      (distinct terminator)
-                   = N + SIGMA + g      for k >  len_r      (distinct padding)
+Sort
+----
+Round 0 sorts by a 30-bit key packing the next 10 window symbols (3 bits
+each: terminator->0 < bases 1..6), with a tie-break key that encodes the read
+index when the window contains the read's terminator (prefix-equal suffixes
+of different reads order by read index) and a unique large value for padding
+positions.  Each subsequent round is one variadic XLA sort doubling the span:
+10 -> 20 -> 40 -> 80 -> ... until the span covers L+1, at which point every
+real suffix rank is unique.  ceil(log2((L+1)/10)) + 1 sorts total.
 
-Terminator symbols are pairwise distinct and smaller than every base, ordered
-by read index — exactly gsufsort's convention (built with TERMINATOR=0 DNA=1 at
-reference Makefile:18), so the suffix array of T restricted to non-padding
-positions IS the EBWT order of the collection.  Padding symbols are distinct
-and larger than everything, so the n real suffixes occupy SA[0:n] and all
-shapes stay static under jit; n = sum(len)+N is only ever used as a mask.
-
-The LCP of adjacent sorted suffixes is bounded by L+1 (comparisons never cross
-a terminator), so it is computed exactly by comparing (L+1)-symbol windows —
-a contiguous row gather, done in chunks to bound memory.
+LCP
+---
+lcp(SA[i-1], SA[i]) is decomposed greedily over the saved per-round ranks
+(span s chars are equal iff the span-s ranks are equal; terminator
+distinctness is embedded in the ranks, which reproduces the reference's
+convention that LCP never extends past a terminator — sa_leaf depth
+semantics, include.hpp:513-527).  The sub-10-symbol remainder is a 16-byte
+window comparison on a zero-terminated symbol matrix.
 """
 
 from __future__ import annotations
@@ -36,6 +46,9 @@ import jax
 import jax.numpy as jnp
 
 from bfqzip_tpu import alphabet
+
+PACK = 10  # symbols per initial radix key (3 bits each, 30 bits used)
+REM_W = 16  # remainder comparison window (>= PACK, multiple of 8)
 
 
 class EbwtDevice(NamedTuple):
@@ -51,95 +64,45 @@ class EbwtDevice(NamedTuple):
 PAD_CODE = jnp.uint8(alphabet.SIGMA)  # sentinel code for padding region
 
 
-def _num_rounds(width: int) -> int:
-    """Doubling rounds so that the span reaches width = L+1 symbols."""
-    r = 0
-    while (1 << r) < width:
-        r += 1
-    return r
+def _window_codes(seqs: jax.Array, lengths: jax.Array) -> jax.Array:
+    """[N, wp+REM_W] u8 symbol rows for window keys.
 
-
-def build_text(seqs: jax.Array, lengths: jax.Array):
-    """Build the padded i32 text and u8 quality text from [N, L] arrays."""
+    Row r: 1+code for the read's bases, then zeros from the terminator on
+    (zeros make prefix comparisons stop at the terminator).
+    """
     n_reads, width = seqs.shape
     wp = width + 1
-    k = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    k = jnp.arange(wp + REM_W, dtype=jnp.int32)[None, :]
     lens = lengths[:, None].astype(jnp.int32)
-    rid = jnp.arange(n_reads, dtype=jnp.int32)[:, None]
-    g = rid * wp + k
-    base_vals = jnp.pad(seqs.astype(jnp.int32), ((0, 0), (0, 1))) + n_reads
-    text = jnp.where(k < lens, base_vals, jnp.where(k == lens, rid, n_reads + alphabet.SIGMA + g))
-    return text.reshape(-1)
+    base = jnp.pad(seqs, ((0, 0), (0, 1 + REM_W))).astype(jnp.uint8) + 1
+    return jnp.where(k < lens, base, jnp.uint8(0))
 
 
-def suffix_array(text: jax.Array, width_p1: int) -> jax.Array:
-    """Prefix-doubling suffix sort of the padded text.
-
-    All suffixes of T are pairwise distinct within width_p1 symbols (each read's
-    suffixes hit its unique terminator; padding symbols are unique), so
-    ceil(log2(width_p1)) doubling rounds suffice.  Each round is one variadic
-    XLA sort of (rank, rank_ahead, index) — the TPU analog of the pointer-free
-    Larsson–Sadakane iteration.
-    """
-    n_pad = text.shape[0]
-    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
-
-    # round 0: sort by single symbol
-    key0, sa = jax.lax.sort((text, idx0), num_keys=1)
-    changed = jnp.concatenate([jnp.zeros((1,), jnp.int32), (key0[1:] != key0[:-1]).astype(jnp.int32)])
-    dense = jnp.cumsum(changed, dtype=jnp.int32)
-    rank = jnp.zeros((n_pad,), jnp.int32).at[sa].set(dense)
-
-    h = 1
-    for _ in range(_num_rounds(width_p1)):
-        rank_ahead = jnp.where(idx0 + h < n_pad, jnp.roll(rank, -h), -1)
-        r1, r2, sa = jax.lax.sort((rank, rank_ahead, idx0), num_keys=2)
-        changed = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
-            ]
-        )
-        dense = jnp.cumsum(changed, dtype=jnp.int32)
-        rank = jnp.zeros((n_pad,), jnp.int32).at[sa].set(dense)
-        h *= 2
-    return sa
+def _pack_keys(wcodes: jax.Array, wp: int) -> jax.Array:
+    """[N, wp] i32: 30-bit key of the next PACK symbols at each position."""
+    acc = jnp.zeros(wcodes.shape[:-1] + (wp,), jnp.int32)
+    for t in range(PACK):
+        acc = acc | (wcodes[:, t : t + wp].astype(jnp.int32) << (3 * (PACK - 1 - t)))
+    return acc
 
 
-def _lcp_from_windows(surrogate: jax.Array, sa: jax.Array, width_p1: int, chunk: int) -> jax.Array:
-    """LCP[i] = #leading symbols shared by suffixes SA[i-1], SA[i].
-
-    Works on a u8 surrogate text where every terminator maps to 0: the match
-    run is cut at a mismatch OR at a terminator, which is exactly the
-    distinct-terminator LCP convention of the reference's suffix-tree traversal
-    (sa_leaf depth semantics, include.hpp:513-527).
-    """
+def _dense_rank(eq_prev: jax.Array, sa: jax.Array) -> jax.Array:
+    """Scatter dense ranks (cumsum of 'key changed') back to position order."""
     n_pad = sa.shape[0]
-    ext = jnp.concatenate([surrogate, jnp.zeros((width_p1,), jnp.uint8)])
-
-    def window(start):
-        return jax.lax.dynamic_slice(ext, (start,), (width_p1,))
-
-    pad_to = ((n_pad + chunk - 1) // chunk) * chunk
-    sa_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), sa[:-1]])
-    sa_c = jnp.pad(sa, (0, pad_to - n_pad)).reshape(-1, chunk)
-    sp_c = jnp.pad(sa_prev, (0, pad_to - n_pad)).reshape(-1, chunk)
-
-    def body(args):
-        s, p = args
-        wa = jax.vmap(window)(s)
-        wb = jax.vmap(window)(p)
-        ok = (wa == wb) & (wa != 0)
-        # length of leading all-True run per row
-        run = jnp.cumprod(ok.astype(jnp.int32), axis=1, dtype=jnp.int32)
-        return jnp.sum(run, axis=1, dtype=jnp.int32)
-
-    lcp = jax.lax.map(body, (sa_c, sp_c)).reshape(-1)[:n_pad]
-    return lcp.at[0].set(0)
+    changed = jnp.concatenate([jnp.zeros((1,), jnp.int32), (~eq_prev[1:]).astype(jnp.int32)])
+    dense = jnp.cumsum(changed, dtype=jnp.int32)
+    return jnp.zeros((n_pad,), jnp.int32).at[sa].set(dense, mode="drop", unique_indices=True)
 
 
-@functools.partial(jax.jit, static_argnames=("lcp_chunk",))
-def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, lcp_chunk: int = 4096) -> EbwtDevice:
+def _spans(wp: int):
+    spans = [PACK]
+    while spans[-1] < wp:
+        spans.append(spans[-1] * 2)
+    return spans  # ranks exist for spans[:-1]; spans[-1] is the final (unique) span
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDevice:
     """Compute ebwt(S), qs(S) and lcp(S) for a padded read batch.
 
     Returns fixed-shape arrays of size N*(L+1) whose first n entries are the
@@ -149,33 +112,84 @@ def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, lcp_chunk:
     n_reads, width = seqs.shape
     wp = width + 1
     n_pad = n_reads * wp
+    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+    lens = lengths.astype(jnp.int32)
+    n = (jnp.sum(lens, dtype=jnp.int32) + n_reads).astype(jnp.int32)
 
-    text = build_text(seqs, lengths)
-    qtext = jnp.pad(quals, ((0, 0), (0, 1))).reshape(-1)
-    n = (jnp.sum(lengths.astype(jnp.int32), dtype=jnp.int32) + n_reads).astype(jnp.int32)
+    wcodes = _window_codes(seqs, lengths)  # [N, wp+REM_W]
+    p10 = _pack_keys(wcodes, wp).reshape(-1)  # [n_pad]
 
-    sa = suffix_array(text, wp)
+    k = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    rid = jnp.arange(n_reads, dtype=jnp.int32)[:, None]
+    is_pad = k > lens[:, None]
+    term_near = (lens[:, None] - k >= 0) & (lens[:, None] - k < PACK)
+    # tie-break: read index when the terminator is inside the packed window
+    # (prefix-equal reads order by index); unique large keys for padding so it
+    # sorts after all real suffixes (p10 of padding is 0, so tb must dominate).
+    tb = jnp.where(term_near, rid + 1, 0)
+    g2 = rid * wp + k
+    tb = jnp.where(is_pad, n_reads + 1 + g2, tb).reshape(-1)
+    p10 = jnp.where(is_pad.reshape(-1), jnp.int32(2**30), p10)
 
-    # BWT: symbol cyclically preceding each suffix.  A padding predecessor can
-    # only occur when the suffix starts a read, whose true predecessor in the
+    # round 0: sort by (packed 10 symbols, tie-break)
+    k1, k2, sa = jax.lax.sort((p10, tb, idx0), num_keys=2)
+    eq = jnp.concatenate([jnp.ones((1,), bool), (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1])])
+    rank = _dense_rank(eq, sa)
+
+    spans = _spans(wp)
+    ranks = [rank]  # rank after span `spans[i]`
+    for h in spans[:-1]:
+        rank_ahead = jnp.where(idx0 + h < n_pad, jnp.roll(rank, -h), -1)
+        r1, r2, sa = jax.lax.sort((rank, rank_ahead, idx0), num_keys=2)
+        eq = jnp.concatenate([jnp.ones((1,), bool), (r1[1:] == r1[:-1]) & (r2[1:] == r2[:-1])])
+        rank = _dense_rank(eq, sa)
+        ranks.append(rank)
+
+    # ---- BWT + permuted qualities ----
+    # Symbol cyclically preceding each suffix.  A padding predecessor can only
+    # occur when the suffix starts a read, whose true predecessor in the
     # compact text is the previous read's terminator — emit TERM either way.
+    text_codes = jnp.where(
+        (k < lens[:, None]), jnp.pad(seqs, ((0, 0), (0, 1))).astype(jnp.uint8) + 1, jnp.uint8(0)
+    )  # 0 for terminator AND padding slots
+    tflat = text_codes.reshape(-1)
+    qtext = jnp.pad(quals, ((0, 0), (0, 1))).reshape(-1)
     prev = (sa - 1) % n_pad
-    tprev = text[prev]
-    is_term = (tprev < n_reads) | (tprev >= n_reads + alphabet.SIGMA)
-    bwt = jnp.where(is_term, jnp.uint8(alphabet.TERM), (tprev - n_reads).astype(jnp.uint8))
+    cprev = tflat[prev]
+    is_term = cprev == 0
+    bwt = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
     qs = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), qtext[prev])
 
-    valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    valid = idx0 < n
     bwt = jnp.where(valid, bwt, PAD_CODE)
     qs = jnp.where(valid, qs, jnp.uint8(0))
 
-    # u8 surrogate for LCP equality: terminators -> 0, bases -> 1+code, pad -> 7
-    surrogate = jnp.where(
-        text < n_reads,
-        jnp.uint8(0),
-        jnp.where(text < n_reads + alphabet.SIGMA, (text - n_reads + 1).astype(jnp.uint8), jnp.uint8(7)),
-    )
-    lcp = _lcp_from_windows(surrogate, sa, wp, lcp_chunk)
-    lcp = jnp.where(valid, lcp, 0)
+    # ---- LCP by binary lifting over the doubling ranks ----
+    a = jnp.concatenate([jnp.zeros((1,), jnp.int32), sa[:-1]])
+    b = sa
+    h = jnp.zeros((n_pad,), jnp.int32)
+    for span, r in zip(reversed(spans[:-1]), reversed(ranks[:-1])):
+        ah, bh = a + h, b + h
+        ok = (ah < n_pad) & (bh < n_pad)
+        same = r[jnp.minimum(ah, n_pad - 1)] == r[jnp.minimum(bh, n_pad - 1)]
+        h = jnp.where(ok & same, h + span, h)
+    # remainder < PACK symbols, from the packed keys alone: count leading
+    # equal 3-bit groups of p10[a+h] vs p10[b+h], capped at the first
+    # terminator (zero group) — no window materialisation.
+    # a+h / b+h always land on base/terminator slots for valid rows (h <= lcp
+    # keeps the offset within the read), so the padding-key masking of p10 is
+    # never observed by this lookup.
+    pa = p10[jnp.minimum(a + h, n_pad - 1)]
+    pb = p10[jnp.minimum(b + h, n_pad - 1)]
+    rem = jnp.zeros((n_pad,), jnp.int32)
+    nz = jnp.ones((n_pad,), bool)  # prefix of pa has no zero group so far
+    eq = jnp.ones((n_pad,), bool)  # prefixes equal so far
+    for j in range(1, PACK + 1):
+        sh = 3 * (PACK - j)
+        eq = eq & ((pa >> sh) == (pb >> sh))
+        nz = nz & (((pa >> sh) & 7) != 0)
+        rem = rem + (eq & nz).astype(jnp.int32)
+    lcp = h + rem
+    lcp = jnp.where(valid, lcp, 0).at[0].set(0)
 
     return EbwtDevice(bwt=bwt, qs=qs, lcp=lcp, sa=sa, n=n)
