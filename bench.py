@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark the end-to-end pipeline (EBWT -> smooth -> reconstruct) on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline compares against the reference implementation measured on this
+machine (see BASELINE.md): bfq_int (compiled from the reference sources,
+M=2 B=0, `-m 5`) processes a 200K x 101bp synthetic dataset at 2.114 Mbases/s
+— and that covers only its steps 2-5 (load+index, cluster detect, smooth,
+invert); the reference's step-1 gsufsort EBWT construction is NOT included
+because its submodule is not vendored.  Our number covers the FULL pipeline
+including EBWT+LCP construction, so vs_baseline understates the true speedup.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+# measured on this machine (BASELINE.md): reference bfq_int steps 2-5
+REF_BASES_PER_SEC = 2.114e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--len", dest="read_len", type=int, default=101)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    if args.reads <= 0 or args.read_len <= 0 or args.reps <= 0:
+        ap.error("--reads, --len and --reps must be positive")
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import numpy as np
+
+    from bfqzip_tpu import SmoothConfig
+    from bfqzip_tpu.engine import smooth_step
+
+    rng = np.random.default_rng(0)
+    bases = np.array([1, 2, 3, 5], dtype=np.uint8)
+    seqs = bases[rng.integers(0, 4, size=(args.reads, args.read_len))]
+    quals = (33 + rng.integers(2, 42, size=(args.reads, args.read_len))).astype(np.uint8)
+    lengths = np.full(args.reads, args.read_len, np.int32)
+    total_bases = args.reads * args.read_len
+    cfg = SmoothConfig()
+
+    # warmup (includes compile)
+    inv, _ = smooth_step(seqs, quals, lengths, cfg)
+    np.asarray(inv.lengths[:2])
+
+    best = None
+    for _ in range(args.reps):
+        t = time.time()
+        inv, _ = smooth_step(seqs, quals, lengths, cfg)
+        np.asarray(inv.lengths[:2])
+        dt = time.time() - t
+        best = dt if best is None else min(best, dt)
+
+    bases_per_sec = total_bases / best
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_smooth_bases_per_sec",
+                "value": round(bases_per_sec, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(bases_per_sec / REF_BASES_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,7 +49,9 @@ def invert(
     if binning:
         qs = illumina_bin_jax(qs)
 
-    pos0 = jnp.arange(n_reads, dtype=jnp.int32)
+    # the `* 0 + arange` keeps the scan carry's sharding type aligned with the
+    # data arrays when this runs inside shard_map (varying-axes propagation)
+    pos0 = lf[:n_reads] * 0 + jnp.arange(n_reads, dtype=jnp.int32)
 
     def step(pos, _):
         c = bwt[pos]
