@@ -35,6 +35,21 @@ def smooth_step(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, cfg: Smoo
     return inv, out.stats
 
 
+@functools.partial(jax.jit, static_argnames=("n_reads", "width", "cfg"))
+def smooth_arrays_step(bwt, qs, lcp, n, n_reads: int, width: int, cfg: SmoothConfig):
+    """Steps 3-5 of the core from precomputed EBWT artifacts (the cached-step1
+    path, reference BFQzip.py:93-104: bfq_int consuming OUT.bwt/OUT.bwt.qs)."""
+    from bfqzip_tpu.ops.suffix import EbwtDevice
+
+    n = jnp.asarray(n, jnp.int32)
+    ebwt = EbwtDevice(bwt=bwt, qs=qs, lcp=lcp, sa=jnp.zeros_like(lcp), n=n)
+    out = smooth(ebwt, cfg)
+    valid = jnp.arange(bwt.shape[0], dtype=jnp.int32) < n
+    lf = lf_array(bwt, valid)
+    inv = invert(bwt, out.bwt_sub, out.qs, lf, n_reads, width, binning=cfg.binning)
+    return inv, out.stats
+
+
 def smooth_fastq(batch: ReadBatch, cfg: SmoothConfig | None = None) -> Tuple[ReadBatch, dict]:
     """Host wrapper: numpy ReadBatch in, smoothed numpy ReadBatch out."""
     cfg = cfg or SmoothConfig()

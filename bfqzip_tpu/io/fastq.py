@@ -83,6 +83,25 @@ def read_fastq(path: str, with_headers: bool = True, max_len: Optional[int] = No
 
 
 def parse_fastq(data: bytes, with_headers: bool = True, max_len: Optional[int] = None) -> ReadBatch:
+    """Parse FASTQ bytes; uses the native C++ parser when built, else numpy."""
+    from bfqzip_tpu.utils import native
+
+    if native.available() and max_len is None:
+        try:
+            res = native.fastq_parse(data, alphabet._ENCODE)
+        except ValueError:
+            # fall through for the python path's error messages
+            return _parse_fastq_np(data, with_headers, max_len)
+        if res is not None:
+            seqs, quals, lengths, hoff, hlen = res
+            headers = None
+            if with_headers:
+                headers = [data[o : o + l] for o, l in zip(hoff, hlen)]
+            return ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=headers)
+    return _parse_fastq_np(data, with_headers, max_len)
+
+
+def _parse_fastq_np(data: bytes, with_headers: bool = True, max_len: Optional[int] = None) -> ReadBatch:
     buf, starts, ends = _split_records(data)
     nlines = starts.size
     if nlines % 4 != 0:

@@ -1,0 +1,309 @@
+"""End-to-end pipeline orchestration with durable, resumable stage artifacts.
+
+The reference drives five subprocess stages through files on disk
+(BFQzip.py:91-145) and caches the expensive EBWT build (BFQzip.py:93-104).
+This module keeps that resumability contract — every stage boundary is a
+durable artifact, `rebuild` forces stage 1 — but the stages are library calls
+into the jitted TPU engine instead of process boundaries:
+
+  step 1  EBWT + QS permutation (+ LCP)  -> OUT.bwt, OUT.bwt.qs, OUT.lcp, OUT.meta.json
+  step 2  headers                        -> OUT.h            (BFQzip.py:192-203)
+  step 3  smooth + invert                -> OUT.fq           (BFQzip.py:206-228)
+  step 4  stream split (modes 2/3)       -> OUT.fq.dna, OUT.fq.qs  (BFQzip.py:231-251)
+  step 5  entropy coding                 -> <stream>.rans (native rANS) and,
+          when the external binaries exist, <stream>.7z / <stream>.bsc
+          (BFQzip.py:253-275)
+
+Artifact formats are reference-compatible where they overlap: .bwt is ASCII
+{A,C,G,T,N,#}, .bwt.qs the permuted quality bytes — both consumable by the
+reference's own bfq_int.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import subprocess
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from bfqzip_tpu import alphabet
+from bfqzip_tpu.config import PipelineConfig
+from bfqzip_tpu.io.fastq import ReadBatch, format_fastq, read_fastq
+from bfqzip_tpu.ops import rans
+from bfqzip_tpu.utils.logging import StepLogger
+
+ZIP7 = shutil.which("7z")
+BSC = shutil.which("bsc")
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    streams: List[str]
+    outputs: Dict[str, List[str]]  # codec -> files
+    stats: Dict[str, int]
+    report: Dict[str, float]
+
+
+def _meta_path(base):
+    return base + ".meta.json"
+
+
+def _artifacts_exist(base: str) -> bool:
+    return all(
+        os.path.exists(base + ext) for ext in (".bwt", ".bwt.qs", ".lcp", ".meta.json")
+    )
+
+
+def step1_build(batch: ReadBatch, base: str, log: StepLogger) -> None:
+    """EBWT + QS + LCP artifacts (replaces gsufsort/eGap, BFQzip.py:178-189)."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    with log.step("step1: EBWT+QS+LCP construction"):
+        dev = build_ebwt(
+            jnp.asarray(batch.seqs), jnp.asarray(batch.quals), jnp.asarray(batch.lengths)
+        )
+        n = int(dev.n)
+        bwt = np.asarray(dev.bwt)[:n]
+        qs = np.asarray(dev.qs)[:n]
+        lcp = np.asarray(dev.lcp)[:n]
+    with open(base + ".bwt", "wb") as f:
+        f.write(alphabet.decode(bwt).tobytes())
+    with open(base + ".bwt.qs", "wb") as f:
+        f.write(qs.tobytes())
+    with open(base + ".lcp", "wb") as f:
+        f.write(lcp.astype("<u2").tobytes())
+    with open(_meta_path(base), "w") as f:
+        json.dump(
+            {"n": n, "n_reads": batch.num_reads, "max_len": batch.max_len}, f
+        )
+
+
+def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger):
+    """Cluster smoothing + inversion from the stage-1 artifacts."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.engine import smooth_arrays_step
+
+    with open(_meta_path(base)) as f:
+        meta = json.load(f)
+    n, n_reads, width = meta["n"], meta["n_reads"], meta["max_len"]
+    bwt = alphabet.encode(np.fromfile(base + ".bwt", np.uint8))
+    qs = np.fromfile(base + ".bwt.qs", np.uint8)
+    lcp = np.fromfile(base + ".lcp", "<u2").astype(np.int32)
+
+    n_pad = ((n + 1023) // 1024) * 1024
+    pad = n_pad - n
+    bwt_p = np.pad(bwt, (0, pad), constant_values=alphabet.SIGMA)
+    qs_p = np.pad(qs, (0, pad))
+    lcp_p = np.pad(lcp, (0, pad))
+
+    with log.step("step3: cluster smoothing + inversion"):
+        inv, stats = smooth_arrays_step(
+            jnp.asarray(bwt_p), jnp.asarray(qs_p), jnp.asarray(lcp_p),
+            np.int32(n), n_reads, width, cfg.smooth,
+        )
+        out = ReadBatch(
+            seqs=np.asarray(inv.seqs),
+            quals=np.asarray(inv.quals),
+            lengths=np.asarray(inv.lengths).astype(np.int32),
+        )
+    return out, {k: int(v) for k, v in stats.items()}
+
+
+def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, List[str]]:
+    """Entropy-code every stream with each backend (BFQzip.py:253-275)."""
+    outputs: Dict[str, List[str]] = {}
+    for codec in codecs:
+        outs = []
+        for path in streams:
+            if codec == "rans":
+                with log.step(f"step5: rans {os.path.basename(path)}"):
+                    data = open(path, "rb").read()
+                    blob = rans.encode_best(data)
+                    out = path + ".rans"
+                    with open(out, "wb") as f:
+                        f.write(blob)
+            elif codec == "ppmd" and ZIP7:
+                out = path + ".7z"
+                if os.path.exists(out):
+                    os.remove(out)
+                with log.step(f"step5: 7z PPMd {os.path.basename(path)}"):
+                    log.run([ZIP7, "a", "-mm=PPMd", out, path])
+            elif codec == "bsc" and BSC:
+                out = path + ".bsc"
+                with log.step(f"step5: bsc {os.path.basename(path)}"):
+                    log.run([BSC, "e", path, out, "-T"])
+            else:
+                continue  # backend unavailable
+            outs.append(out)
+        if outs:
+            outputs[codec] = outs
+    return outputs
+
+
+def decompress_stream(path: str, out_path: Optional[str] = None) -> str:
+    """Decode a .rans container back to the original stream bytes."""
+    from bfqzip_tpu.utils import native
+
+    blob = open(path, "rb").read()
+    if native.available():
+        data = native.rans_decode(blob)
+    else:
+        data = rans.decode(blob)
+    out_path = out_path or (path[:-5] if path.endswith(".rans") else path + ".out")
+    with open(out_path, "wb") as f:
+        f.write(data.tobytes())
+    return out_path
+
+
+def run_pipeline(
+    inputs: List[str],
+    cfg: PipelineConfig,
+    out_base: Optional[str] = None,
+    check: bool = False,
+    reorder: int = 0,
+    blocks: int = 0,
+    logfile: Optional[str] = None,
+) -> PipelineResult:
+    """The full compression pipeline (reference BFQzip.py:31-174 surface)."""
+    base = out_base or inputs[0]
+    log = StepLogger(logfile or base + ".log")
+    log.command_line()
+
+    # ---- input / validation (checkFASTQ.py semantics via the parser) ----
+    with log.step("read FASTQ"):
+        batches = [read_fastq(p) for p in inputs]
+    if check:
+        for b in batches:
+            b.validate()
+        log.info("checkFASTQ: valid")
+
+    paired_split = batches[0].num_reads if len(batches) > 1 else None
+    batch = batches[0] if len(batches) == 1 else _concat(batches)
+
+    # ---- optional reorder (BFQzip.py:277-292 / randomFASTQ.py) ----
+    if reorder:
+        from bfqzip_tpu.utils.reorder import reorder_batch
+
+        with log.step(f"reorder mode {reorder}"):
+            batch = reorder_batch(batch, mode=reorder)
+
+    # ---- step 1 with artifact caching (BFQzip.py:93-104) ----
+    if cfg.rebuild or not _artifacts_exist(base):
+        if blocks and blocks > 1:
+            _blockwise_step1_3(batch, base, cfg, blocks, log)
+            smoothed, stats = _load_fq(base), {}
+        else:
+            step1_build(batch, base, log)
+            smoothed = None
+    else:
+        log.info("step1: artifacts cached, skipping (use rebuild to force)")
+        smoothed = None
+
+    # ---- step 2: headers (BFQzip.py:192-203) ----
+    headers_on = cfg.headers or cfg.mode == 3
+    if headers_on and batch.headers is not None:
+        with open(base + ".h", "wb") as f:
+            f.write(b"\n".join(batch.headers) + b"\n")
+
+    # ---- step 3 (+4) ----
+    stats: Dict[str, int] = {}
+    if cfg.original:
+        with log.step("step3: --original (copy input)"):
+            shutil.copyfile(inputs[0], base + ".fq")
+    elif smoothed is None:
+        smoothed, stats = step3_smooth(base, cfg, log)
+        hdrs = batch.headers if headers_on else None
+        with open(base + ".fq", "wb") as f:
+            f.write(format_fastq(smoothed, headers=hdrs))
+
+    streams = []
+    if cfg.mode == 1:
+        streams = [base + ".fq"]
+    elif cfg.mode in (2, 3):
+        with log.step("step4: stream split"):
+            fq = open(base + ".fq", "rb").read()
+            lines = fq.split(b"\n")
+            with open(base + ".fq.dna", "wb") as f:
+                f.write(b"\n".join(lines[1::4]) + b"\n")
+            with open(base + ".fq.qs", "wb") as f:
+                f.write(b"\n".join(lines[3::4]) + b"\n")
+        streams = [base + ".fq.dna", base + ".fq.qs"]
+        if cfg.mode == 3:
+            streams.append(base + ".h")
+
+    # ---- step 5 ----
+    outputs: Dict[str, List[str]] = {}
+    if cfg.mode != 0 and streams:
+        outputs = step5_compress(streams, cfg.codecs, log)
+
+    # ---- report (BFQzip.py:147-172) ----
+    insize = sum(os.path.getsize(p) for p in inputs)
+    report = {"original_mb": insize / 2**20}
+    for codec, files in outputs.items():
+        outsize = sum(os.path.getsize(f) for f in files)
+        report[f"{codec}_mb"] = outsize / 2**20
+        report[f"{codec}_ratio"] = outsize / insize
+        log.info(f"{codec}: {outsize/2**20:.2f} MB, ratio {outsize/insize:.3f}")
+
+    if paired_split is not None:
+        with open(_meta_path(base + ".paired"), "w") as f:
+            json.dump({"reads_file1": paired_split}, f)
+
+    log.close()
+    return PipelineResult(streams=streams, outputs=outputs, stats=stats, report=report)
+
+
+def _concat(batches: List[ReadBatch]) -> ReadBatch:
+    """Paired-end mode: append mate reads after file-1 reads
+    (BFQzip_parallel.py:325-360)."""
+    width = max(b.max_len for b in batches)
+    seqs = np.concatenate([np.pad(b.seqs, ((0, 0), (0, width - b.max_len))) for b in batches])
+    quals = np.concatenate([np.pad(b.quals, ((0, 0), (0, width - b.max_len))) for b in batches])
+    lengths = np.concatenate([b.lengths for b in batches])
+    headers = None
+    if all(b.headers is not None for b in batches):
+        headers = [h for b in batches for h in b.headers]
+    return ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=headers)
+
+
+def _blockwise_step1_3(batch, base, cfg, blocks, log):
+    """Block mode: independent EBWT per ~equal read block, outputs merged in
+    block order (BFQzip_parallel.py:288-323,137-152).  On a single chip the
+    blocks run sequentially through the engine; on a mesh use
+    bfqzip_tpu.parallel.block instead."""
+    from bfqzip_tpu.engine import smooth_fastq
+
+    n = batch.num_reads
+    size = n // blocks
+    parts = []
+    for b in range(blocks):
+        lo = b * size
+        hi = n if b == blocks - 1 else (b + 1) * size
+        sub = ReadBatch(
+            seqs=batch.seqs[lo:hi], quals=batch.quals[lo:hi], lengths=batch.lengths[lo:hi]
+        )
+        with log.step(f"block {b+1}/{blocks}: EBWT+smooth+invert ({hi-lo} reads)"):
+            out, _ = smooth_fastq(sub, cfg.smooth)
+        parts.append(out)
+    width = max(p.max_len for p in parts)
+    merged = ReadBatch(
+        seqs=np.concatenate([np.pad(p.seqs, ((0, 0), (0, width - p.max_len))) for p in parts]),
+        quals=np.concatenate([np.pad(p.quals, ((0, 0), (0, width - p.max_len))) for p in parts]),
+        lengths=np.concatenate([p.lengths for p in parts]),
+        headers=batch.headers,
+    )
+    hdrs = batch.headers if (cfg.headers or cfg.mode == 3) else None
+    with open(base + ".fq", "wb") as f:
+        f.write(format_fastq(merged, headers=hdrs))
+
+
+def _load_fq(base: str) -> ReadBatch:
+    return read_fastq(base + ".fq")

@@ -1,0 +1,128 @@
+"""ctypes bindings for the native C++ runtime (native/libbfqnative.so).
+
+The native library accelerates the host-side IO and entropy-coding paths
+(FASTQ parse/format, rANS encode/decode); every entry point has a pure
+numpy/JAX fallback, so the package works without the shared library.
+Build with `make native` (or `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_SEARCHED = False
+
+
+def _find_lib():
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libbfqnative.so"),
+        os.path.join(os.path.dirname(__file__), "libbfqnative.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.fastq_scan.restype = ctypes.c_int
+            lib.fastq_fill.restype = ctypes.c_int
+            lib.fastq_format.restype = ctypes.c_int64
+            lib.rans_encode.restype = ctypes.c_int64
+            lib.rans_decode.restype = ctypes.c_int64
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _find_lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def fastq_parse(data: bytes, code_map: np.ndarray):
+    """Parse FASTQ bytes -> (seqs, quals, lengths, header_off, header_len).
+    Returns None if the native library is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    n_reads = ctypes.c_int64()
+    max_len = ctypes.c_int64()
+    rc = lib.fastq_scan(_ptr(buf), len(data), ctypes.byref(n_reads), ctypes.byref(max_len))
+    if rc != 0:
+        raise ValueError(f"malformed FASTQ (native scan rc={rc})")
+    n, w = n_reads.value, max_len.value
+    seqs = np.zeros((n, w), np.uint8)
+    quals = np.zeros((n, w), np.uint8)
+    lengths = np.zeros(n, np.int32)
+    hoff = np.zeros(n, np.int64)
+    hlen = np.zeros(n, np.int64)
+    rc = lib.fastq_fill(_ptr(buf), len(data), _ptr(code_map), w,
+                        _ptr(seqs), _ptr(quals), _ptr(lengths), _ptr(hoff), _ptr(hlen))
+    if rc != 0:
+        raise ValueError(f"invalid FASTQ content (native fill rc={rc})")
+    return seqs, quals, lengths, hoff, hlen
+
+
+def fastq_format(seqs, quals, lengths, decode_map, headers_blob=None, hoff=None, hlen=None) -> Optional[bytes]:
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n, w = seqs.shape
+    lengths64 = lengths.astype(np.int64)
+    if headers_blob is not None:
+        hsize = int(hlen.sum())
+    else:
+        hsize = n  # bare '@'
+    total = int(hsize + n * 3 + 2 * lengths64.sum() + 3 * n)
+    out = np.zeros(total + 16, np.uint8)
+    hb = np.frombuffer(headers_blob, np.uint8) if headers_blob is not None else None
+    written = lib.fastq_format(
+        _ptr(np.ascontiguousarray(seqs)), _ptr(np.ascontiguousarray(quals)),
+        _ptr(np.ascontiguousarray(lengths.astype(np.int32))),
+        n, w, _ptr(decode_map),
+        _ptr(hb) if hb is not None else None,
+        _ptr(hoff.astype(np.int64)) if hoff is not None else None,
+        _ptr(hlen.astype(np.int64)) if hlen is not None else None,
+        _ptr(out),
+    )
+    if written < 0:
+        raise RuntimeError(f"native fastq_format rc={written}")
+    return out[:written].tobytes()
+
+
+def rans_encode(data: bytes, spec_order: int, lanes: int) -> Optional[bytes]:
+    lib = _find_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cap = len(data) * 2 + (1 << 20)
+    out = np.zeros(cap, np.uint8)
+    size = lib.rans_encode(_ptr(buf), len(data), spec_order, lanes, _ptr(out), cap)
+    if size < 0:
+        raise RuntimeError(f"native rans_encode rc={size}")
+    return out[:size].tobytes()
+
+
+def rans_decode(blob: bytes) -> Optional[np.ndarray]:
+    lib = _find_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(blob, np.uint8)
+    n = lib.rans_decode(_ptr(buf), len(blob), None, 0)
+    if n < 0:
+        raise ValueError(f"native rans_decode rc={n}")
+    out = np.zeros(int(n), np.uint8)
+    rc = lib.rans_decode(_ptr(buf), len(blob), _ptr(out), int(n))
+    if rc < 0:
+        raise ValueError(f"native rans_decode rc={rc}")
+    return out

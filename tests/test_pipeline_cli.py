@@ -1,0 +1,133 @@
+"""End-to-end pipeline + CLI tests (CPU backend)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bfqzip_tpu.config import PipelineConfig, SmoothConfig
+from bfqzip_tpu.ops import rans
+from bfqzip_tpu.pipeline import decompress_stream, run_pipeline
+
+from conftest import golden_path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    src = golden_path("example.in.fastq")
+    dst = tmp_path / "reads.fastq"
+    shutil.copyfile(src, dst)
+    return tmp_path
+
+
+def test_pipeline_m3_matches_golden(workdir):
+    base = str(workdir / "out")
+    res = run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=3), out_base=base)
+    # .fq must equal the reference golden with headers
+    golden = open(golden_path("example.m2b0h.fq"), "rb").read()
+    assert open(base + ".fq", "rb").read() == golden
+    assert set(res.streams) == {base + ".fq.dna", base + ".fq.qs", base + ".h"}
+    # native rANS outputs round-trip
+    for stream in res.streams:
+        out = decompress_stream(stream + ".rans", stream + ".rt")
+        assert open(out, "rb").read() == open(stream, "rb").read()
+    assert res.stats["num_clust"] == 387
+
+
+def test_pipeline_artifact_cache(workdir):
+    base = str(workdir / "out")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base)
+    bwt_mtime = os.path.getmtime(base + ".bwt")
+    # second run must reuse the cached EBWT artifacts
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base)
+    assert os.path.getmtime(base + ".bwt") == bwt_mtime
+    # rebuild forces reconstruction
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=1, rebuild=True), out_base=base)
+    assert os.path.getmtime(base + ".bwt") >= bwt_mtime
+
+
+def test_pipeline_artifacts_feed_reference_format(workdir):
+    """The .bwt artifact uses the reference's ASCII alphabet."""
+    base = str(workdir / "out")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=0), out_base=base)
+    bwt = open(base + ".bwt", "rb").read()
+    assert set(bwt) <= set(b"ACGTN#")
+    meta = json.load(open(base + ".meta.json"))
+    assert meta["n"] == len(bwt) == 10200
+
+
+def test_pipeline_block_mode(workdir):
+    base = str(workdir / "out_blocks")
+    res = run_pipeline(
+        [str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base, blocks=4
+    )
+    fq = open(base + ".fq", "rb").read()
+    assert fq.count(b"\n") == 400
+    # block mode output differs from whole-file mode (independent EBWTs) but
+    # must still reconstruct the same DNA content for unmodified reads count
+    assert len(fq.split(b"\n")[1]) == 101
+
+
+def test_pipeline_original(workdir):
+    base = str(workdir / "orig")
+    run_pipeline(
+        [str(workdir / "reads.fastq")], PipelineConfig(mode=1, original=True), out_base=base
+    )
+    assert open(base + ".fq", "rb").read() == open(workdir / "reads.fastq", "rb").read()
+
+
+def test_cli_end_to_end(workdir):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    base = str(workdir / "cli_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "bfqzip_tpu", str(workdir / "reads.fastq"),
+         "-o", base, "--m3", "-v", "1"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    golden = open(golden_path("example.m2b0h.fq"), "rb").read()
+    assert open(base + ".fq", "rb").read() == golden
+    assert os.path.exists(base + ".fq.dna.rans")
+    # decompress path
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bfqzip_tpu", "--decompress", base + ".fq.dna.rans"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+
+def test_cli_bad_args():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "bfqzip_tpu", "a.fastq", "b.fastq"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=120,
+    )
+    assert r.returncode == 2
+    assert "paired" in r.stderr
+
+
+def test_reorder_modes(workdir):
+    from bfqzip_tpu.io.fastq import read_fastq
+    from bfqzip_tpu.utils.reorder import reorder_batch
+
+    batch = read_fastq(str(workdir / "reads.fastq"))
+    for mode in (1, 2):
+        out = reorder_batch(batch, mode=mode)
+        assert sorted(map(bytes, out.seqs)) == sorted(map(bytes, batch.seqs))
+
+
+def test_checkfastq(workdir):
+    from bfqzip_tpu.utils.checkfastq import check_fastq
+
+    assert check_fastq(str(workdir / "reads.fastq"))
+    bad = workdir / "bad.fastq"
+    bad.write_bytes(b"@r\nACGT\n+\nIII\n")
+    assert not check_fastq(str(bad))
+    assert not check_fastq(str(workdir / "reads.txt"))
