@@ -224,9 +224,21 @@ def run_pipeline(
         with open(base + ".fq", "wb") as f:
             f.write(format_fastq(smoothed, headers=hdrs))
 
+    # paired mode: re-split the merged output at the recorded mate boundary
+    # into _1/_2 files (BFQzip_parallel.py:153-172) and compress those
+    if paired_split is not None and not cfg.original:
+        with log.step("paired re-split"):
+            fq = open(base + ".fq", "rb").read()
+            lines = fq.split(b"\n")
+            cut = 4 * paired_split
+            with open(base + "_1.fq", "wb") as f:
+                f.write(b"\n".join(lines[:cut]) + b"\n")
+            with open(base + "_2.fq", "wb") as f:
+                f.write(b"\n".join(lines[cut:]).rstrip(b"\n") + b"\n")
+
     streams = []
     if cfg.mode == 1:
-        streams = [base + ".fq"]
+        streams = [base + ".fq"] if paired_split is None else [base + "_1.fq", base + "_2.fq"]
     elif cfg.mode in (2, 3):
         with log.step("step4: stream split"):
             fq = open(base + ".fq", "rb").read()

@@ -1,0 +1,42 @@
+"""Auxiliary subsystem tests: paired mode, profiling, logging."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from bfqzip_tpu.config import PipelineConfig
+from bfqzip_tpu.pipeline import run_pipeline
+from bfqzip_tpu.utils.profiling import PhaseProfiler, device_memory_stats
+
+from conftest import golden_path
+
+
+def test_paired_pipeline(tmp_path):
+    shutil.copyfile(golden_path("example.in.fastq"), tmp_path / "r_1.fastq")
+    shutil.copyfile(golden_path("example_r1.in.fastq"), tmp_path / "r_2.fastq")
+    base = str(tmp_path / "out")
+    res = run_pipeline(
+        [str(tmp_path / "r_1.fastq"), str(tmp_path / "r_2.fastq")],
+        PipelineConfig(mode=1),
+        out_base=base,
+    )
+    assert os.path.exists(base + "_1.fq") and os.path.exists(base + "_2.fq")
+    fq1 = open(base + "_1.fq", "rb").read()
+    fq2 = open(base + "_2.fq", "rb").read()
+    assert fq1.count(b"\n") == 400 and fq2.count(b"\n") == 400
+    assert set(res.streams) == {base + "_1.fq", base + "_2.fq"}
+
+
+def test_phase_profiler():
+    prof = PhaseProfiler()
+    with prof.phase("warmup"):
+        import jax.numpy as jnp
+
+        jnp.arange(10).sum()
+    assert prof.records[0]["phase"] == "warmup"
+    assert prof.records[0]["seconds"] >= 0
+    assert "warmup" in prof.report()
+    # CPU backend has no memory stats; the call must still be safe
+    device_memory_stats()
