@@ -15,9 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bfqzip_tpu import alphabet
 from bfqzip_tpu.config import SmoothConfig
 from bfqzip_tpu.io.fastq import ReadBatch
-from bfqzip_tpu.ops.invert import InvertOut, invert
+from bfqzip_tpu.ops.invert import InvertOut, invert, invert_via_sa
 from bfqzip_tpu.ops.rank import lf_array
 from bfqzip_tpu.ops.smooth import smooth
 from bfqzip_tpu.ops.suffix import build_ebwt
@@ -28,10 +29,15 @@ def smooth_step(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, cfg: Smoo
     """The full device-side pipeline on a padded [N, L] read batch."""
     n_reads, width = seqs.shape
     ebwt = build_ebwt(seqs, quals, lengths)
-    out = smooth(ebwt, cfg)
-    valid = jnp.arange(ebwt.bwt.shape[0], dtype=jnp.int32) < ebwt.n
-    lf = lf_array(ebwt.bwt, valid)
-    inv = invert(ebwt.bwt, out.bwt_sub, out.qs, lf, n_reads, width, binning=cfg.binning)
+    # bwt[LF[j]] is the text symbol at SA[j]-2 — one gather, no LF array
+    # (dna_bwt_n.hpp:78-101 becomes pointer arithmetic on the kept SA)
+    n_pad = ebwt.bwt.shape[0]
+    tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
+    pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
+    out = smooth(ebwt, cfg, pre=pre)
+    inv = invert_via_sa(
+        ebwt.sa, ebwt.bwt, out.bwt_sub, out.qs, ebwt.n, n_reads, width, binning=cfg.binning
+    )
     return inv, out.stats
 
 
@@ -42,7 +48,7 @@ def smooth_arrays_step(bwt, qs, lcp, n, n_reads: int, width: int, cfg: SmoothCon
     from bfqzip_tpu.ops.suffix import EbwtDevice
 
     n = jnp.asarray(n, jnp.int32)
-    ebwt = EbwtDevice(bwt=bwt, qs=qs, lcp=lcp, sa=jnp.zeros_like(lcp), n=n)
+    ebwt = EbwtDevice(bwt=bwt, qs=qs, lcp=lcp, sa=jnp.zeros_like(lcp), text=jnp.zeros_like(bwt), n=n)
     out = smooth(ebwt, cfg)
     valid = jnp.arange(bwt.shape[0], dtype=jnp.int32) < n
     lf = lf_array(bwt, valid)

@@ -6,6 +6,10 @@ LF step per iteration, which turns the reconstruction into L batched gathers —
 the dense analog of decodeBCRmultipleReverse's pair queues, with the "cyc"
 column files + out-of-core transpose (decode.cpp:409-496) collapsing into a
 single [L, N] -> [N, L] transpose and per-row flip.
+
+The per-step payload (substituted base, smoothed quality, end-of-read flag)
+is packed into one i32 word next to the LF pointer, so each of the L
+sequential steps issues exactly two gathers.
 """
 
 from __future__ import annotations
@@ -33,6 +37,44 @@ def illumina_bin_jax(qs: jax.Array) -> jax.Array:
     return (out + 33).astype(jnp.uint8)
 
 
+def invert_via_sa(
+    sa: jax.Array,
+    bwt: jax.Array,
+    bwt_sub: jax.Array,
+    qs: jax.Array,
+    n: jax.Array,
+    n_reads: int,
+    width: int,
+    binning: bool = False,
+) -> InvertOut:
+    """Reconstruction without LF walking: this framework keeps the suffix
+    array, and each non-terminator BWT position i holds the (possibly
+    corrected) read character at text position SA[i]-1 — so the smoothed
+    FASTQ is ONE scatter of (base, quality) back to read coordinates,
+    replacing the reference's n sequential LF steps (bfq_int.cpp:775-791)
+    entirely.  The LF-walk variant below remains for resuming from on-disk
+    artifacts, which carry no SA."""
+    if binning:
+        qs = illumina_bin_jax(qs)
+    n_pad = bwt.shape[0]
+    wp = n_pad // n_reads  # width + 1
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    is_char = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA)) & (idx < n)
+    prev = (sa - 1) % n_pad
+    target = jnp.where(is_char, prev, n_pad)  # out-of-range -> dropped
+    packed = (qs.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32)
+    grid = (
+        jnp.zeros((n_pad,), jnp.int32)
+        .at[target]
+        .set(packed, mode="drop", unique_indices=True)
+        .reshape(n_reads, wp)
+    )
+    seqs = (grid[:, :width] & 0xFF).astype(jnp.uint8)
+    quals = ((grid[:, :width] >> 8) & 0xFF).astype(jnp.uint8)
+    lengths = jnp.sum((seqs != 0).astype(jnp.int32), axis=1, dtype=jnp.int32)
+    return InvertOut(seqs=seqs, quals=quals, lengths=lengths)
+
+
 def invert(
     bwt: jax.Array,
     bwt_sub: jax.Array,
@@ -49,15 +91,22 @@ def invert(
     if binning:
         qs = illumina_bin_jax(qs)
 
+    # payload word: [16:24]=quality  [8:16]=substituted base  [0]=not-TERM
+    payload = (
+        (qs.astype(jnp.int32) << 16)
+        | (bwt_sub.astype(jnp.int32) << 8)
+        | (bwt != alphabet.TERM).astype(jnp.int32)
+    )
+
     # the `* 0 + arange` keeps the scan carry's sharding type aligned with the
     # data arrays when this runs inside shard_map (varying-axes propagation)
     pos0 = lf[:n_reads] * 0 + jnp.arange(n_reads, dtype=jnp.int32)
 
     def step(pos, _):
-        c = bwt[pos]
-        active = c != alphabet.TERM
-        b = jnp.where(active, bwt_sub[pos], 0)
-        q = jnp.where(active, qs[pos], 0)
+        w = payload[pos]
+        active = (w & 1) == 1
+        b = jnp.where(active, ((w >> 8) & 0xFF).astype(jnp.uint8), 0)
+        q = jnp.where(active, ((w >> 16) & 0xFF).astype(jnp.uint8), 0)
         nxt = jnp.where(active, lf[pos], pos)
         return nxt, (b, q, active)
 

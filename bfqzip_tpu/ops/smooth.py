@@ -63,7 +63,7 @@ class SmoothOut(NamedTuple):
     stats: dict  # reference counters, scalar i32
 
 
-def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
+def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     bwt, qs, lcp, n = ebwt.bwt, ebwt.qs, ebwt.lcp, ebwt.n
     n_pad = bwt.shape[0]
     pos = jnp.arange(n_pad, dtype=jnp.int32)
@@ -108,8 +108,10 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig) -> SmoothOut:
     qt = cfg.quality_threshold + 33
 
     # ---- one fused channel matrix, one cumsum, one end-sample row-gather ----
-    lf = lf_array(bwt, valid)
-    pre = bwt[lf]  # symbol preceding each BWT position
+    if pre is None:
+        # symbol preceding each BWT position: bwt[LF[j]] (bfq_int.cpp:547)
+        lf = lf_array(bwt, valid)
+        pre = bwt[lf]
 
     chans = []  # list of [n_pad] i32, masked to cluster members
     mask_i = in_cluster.astype(jnp.int32)

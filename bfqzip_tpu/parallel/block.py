@@ -24,8 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from bfqzip_tpu.config import SmoothConfig
 from bfqzip_tpu.io.fastq import ReadBatch
-from bfqzip_tpu.ops.invert import invert
-from bfqzip_tpu.ops.rank import lf_array
+from bfqzip_tpu.ops.invert import invert_via_sa
 from bfqzip_tpu.ops.smooth import smooth
 from bfqzip_tpu.ops.suffix import build_ebwt
 
@@ -44,10 +43,15 @@ def make_block_step(mesh: Mesh, cfg: SmoothConfig, axes=("data", "seq")):
     def step(seqs, quals, lengths):
         n_blk, width = seqs.shape  # per-shard block shape (static)
         ebwt = build_ebwt(seqs, quals, lengths)
-        sm = smooth(ebwt, cfg)
-        valid = jnp.arange(ebwt.bwt.shape[0], dtype=jnp.int32) < ebwt.n
-        lf = lf_array(ebwt.bwt, valid)
-        inv = invert(ebwt.bwt, sm.bwt_sub, sm.qs, lf, n_blk, width, binning=cfg.binning)
+        n_pad = ebwt.bwt.shape[0]
+        from bfqzip_tpu import alphabet
+
+        tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
+        pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
+        sm = smooth(ebwt, cfg, pre=pre)
+        inv = invert_via_sa(
+            ebwt.sa, ebwt.bwt, sm.bwt_sub, sm.qs, ebwt.n, n_blk, width, binning=cfg.binning
+        )
         stats = {k: jax.lax.psum(v, axes) for k, v in sm.stats.items()}
         return inv.seqs, inv.quals, inv.lengths, stats
 

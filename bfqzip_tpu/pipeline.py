@@ -126,7 +126,13 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
             if codec == "rans":
                 with log.step(f"step5: rans {os.path.basename(path)}"):
                     data = open(path, "rb").read()
-                    blob = rans.encode_best(data)
+                    if path.endswith(".h"):
+                        # tokenising header model (models/headers.py)
+                        from bfqzip_tpu.models.headers import encode_headers
+
+                        blob = encode_headers(data.split(b"\n")[:-1])
+                    else:
+                        blob = rans.encode_best(data)
                     out = path + ".rans"
                     with open(out, "wb") as f:
                         f.write(blob)
@@ -153,13 +159,17 @@ def decompress_stream(path: str, out_path: Optional[str] = None) -> str:
     from bfqzip_tpu.utils import native
 
     blob = open(path, "rb").read()
-    if native.available():
-        data = native.rans_decode(blob)
+    if blob[:4] == b"BQZH":
+        from bfqzip_tpu.models.headers import decode_headers
+
+        payload = b"\n".join(decode_headers(blob)) + b"\n"
+    elif native.available():
+        payload = native.rans_decode(blob).tobytes()
     else:
-        data = rans.decode(blob)
+        payload = rans.decode(blob).tobytes()
     out_path = out_path or (path[:-5] if path.endswith(".rans") else path + ".out")
     with open(out_path, "wb") as f:
-        f.write(data.tobytes())
+        f.write(payload)
     return out_path
 
 
