@@ -1,0 +1,335 @@
+"""Sequence-sharded EBWT construction: ONE global suffix sort across devices.
+
+Block parallelism (parallel/block.py) mirrors the reference's scale-out and
+pays its compression-ratio cost (independent EBWTs, reference README.md:107).
+This module builds a SINGLE EBWT with the read collection sharded over a mesh
+axis — the path with no ratio cost, for collections larger than one chip:
+
+  * the padded position space n_pad = N*(L+1) is sharded contiguously
+    (row-aligned: each shard owns whole reads);
+  * every prefix-doubling round is a distributed sample sort of
+    (rank<<31 | rank_ahead+1) 64-bit keys: local sort -> splitter agreement
+    (all_gather) -> fixed-capacity bucket exchange (all_to_all over ICI) ->
+    local merge;
+  * rank_ahead needs only a halo exchange with the next shard (ppermute),
+    because position shards are contiguous;
+  * dense re-ranking is a local scan + an exclusive shard-offset scan
+    (all_gather of counts), then ranks are routed back to their
+    position shards by a second bucket exchange — the distributed analog of
+    the single-chip scatter;
+  * BWT/QS extraction and LCP lifting use a generic routed global gather
+    (requests grouped by target shard, two all_to_alls).
+
+This is the TPU equivalent of upgrading the reference's external-memory pile
+partitioning (bfq_ext.cpp:190-348) from 6 static disk piles to D dynamic
+device shards.  x64 must be enabled (64-bit sort keys).
+
+Sorted-order outputs (bwt, qs, lcp) come back as fixed-capacity per-shard
+buffers plus counts (sample sort balances only approximately); the host-side
+wrapper compacts them.  Bucket overflows are reported, never silent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from bfqzip_tpu import alphabet
+from bfqzip_tpu.ops.suffix import PACK, SPAN0, _EXT, _pack_word, _window_codes
+
+I64_MAX = jnp.int64(jnp.iinfo(jnp.int64).max)
+
+
+class ShardedEbwt(NamedTuple):
+    bwt: np.ndarray  # [n] u8 codes (compacted on host)
+    qs: np.ndarray  # [n] u8
+    lcp: np.ndarray  # [n] i32
+    sa: np.ndarray  # [n] i32 suffix positions in the padded layout
+    n: int
+    overflow: int  # total bucket overflow across all exchanges (0 == exact)
+
+
+def _spans10(wp: int):
+    spans = [PACK]
+    while spans[-1] < wp:
+        spans.append(spans[-1] * 2)
+    return spans
+
+
+def build_ebwt_sharded(seqs, quals, lengths, mesh: Mesh, axis: str = "seq",
+                       capacity_factor: float = 2.5) -> ShardedEbwt:
+    """Host wrapper: returns the global EBWT of the collection, built with the
+    reads sharded over `axis`.  Requires x64 (i64 sort keys) and n_reads
+    divisible by the axis size."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError("build_ebwt_sharded requires jax_enable_x64 (64-bit sort keys)")
+    d = mesh.shape[axis]
+    n_reads, width = seqs.shape
+    if n_reads % d:
+        raise ValueError(f"n_reads {n_reads} not divisible by mesh axis size {d}")
+    wp = width + 1
+    n_pad = n_reads * wp
+    m = n_pad // d  # positions per shard
+    cap_sorted = int(capacity_factor * m) + 64  # sorted-order shard buffers
+
+    fn = _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted)
+    out = fn(jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths))
+    bwt_b, qs_b, lcp_b, sa_b, counts, overflow, n = map(np.asarray, out)
+
+    parts = {0: [], 1: [], 2: [], 3: []}
+    for i in range(d):
+        c = int(counts[i])
+        for j, buf in enumerate((bwt_b, qs_b, lcp_b, sa_b)):
+            parts[j].append(buf[i * cap_sorted : i * cap_sorted + c])
+    bwt, qs, lcp, sa = (np.concatenate(parts[j]) for j in range(4))
+    # padding suffixes sort last globally; the real EBWT is the first n entries
+    n = int(n)
+    bwt, qs, lcp, sa = bwt[:n], qs[:n], lcp.astype(np.int32)[:n], sa.astype(np.int32)[:n]
+    lcp[0] = 0
+    return ShardedEbwt(bwt=bwt, qs=qs, lcp=lcp, sa=sa,
+                       n=n, overflow=int(overflow.sum()))
+
+
+def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
+    wp = width + 1
+    n_pad = n_reads * wp
+    nl = n_reads // d  # reads per shard
+    cap_x = int(2.5 * (cap_sorted // d)) + 64  # per-pair exchange capacity
+    spans = _spans10(wp)
+    next_perm = [(i, (i - 1) % d) for i in range(d)]  # receive from next shard
+
+    def a2a(x):
+        return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0, tiled=True)
+
+    def shard_id():
+        return jax.lax.axis_index(axis)
+
+    def halo_next(x, h):
+        """x[g+h] for local positions (h < m); out-of-range -> -1."""
+        nxt = jax.lax.ppermute(x[:h], axis, next_perm)  # first h of next shard
+        shifted = jnp.concatenate([x[h:], nxt])
+        base = shard_id().astype(jnp.int64) * m
+        gidx = base + jnp.arange(m, dtype=jnp.int64)
+        return jnp.where(gidx + h < n_pad, shifted, -1)
+
+    def shard_offset(count):
+        """Exclusive prefix over shards of a per-shard scalar."""
+        all_c = jax.lax.all_gather(count, axis)  # [d]
+        me = shard_id()
+        return jnp.sum(jnp.where(jnp.arange(d) < me, all_c, 0)), all_c
+
+    def bucket_exchange(sort_key, payloads, bucket_of, cap):
+        """Group local elements by bucket_of (values in [0,d)), exchange.
+
+        Elements must already be sorted by bucket (sort_key sorted ascending
+        and bucket_of monotone in it).  Returns (received payloads [d*cap],
+        valid mask, overflow count)."""
+        mm = sort_key.shape[0]
+        buckets = jnp.arange(d, dtype=jnp.int32)
+        starts = jnp.searchsorted(bucket_of, buckets, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(bucket_of, buckets, side="right").astype(jnp.int32)
+        cnt = ends - starts
+        overflow = jnp.sum(jnp.maximum(cnt - cap, 0))
+        cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        src = jnp.minimum(starts[:, None] + cols, mm - 1)
+        sel = cols < jnp.minimum(cnt, cap)[:, None]
+        recv = []
+        for p, sentinel in payloads:
+            send = jnp.where(sel, p[src], sentinel)
+            recv.append(a2a(send).reshape(-1))
+        vmask = a2a(sel).reshape(-1)
+        return recv, vmask, overflow
+
+    def dsort(key, pos):
+        """Distributed sort by i64 key; returns sorted-order shard buffers
+        (key, pos, valid, count, overflow)."""
+        k_s, p_s = jax.lax.sort((key, pos), num_keys=1)
+        step = max(m // d, 1)
+        samples = k_s[jnp.arange(d, dtype=jnp.int32) * step]
+        alls = jnp.sort(jax.lax.all_gather(samples, axis).reshape(-1))
+        spl = alls[jnp.arange(1, d, dtype=jnp.int64) * d]
+        bucket = jnp.searchsorted(spl, k_s, side="right").astype(jnp.int32)
+        (rk, rp), vmask, ovf = bucket_exchange(
+            k_s, [(k_s, I64_MAX), (p_s, jnp.int32(-1))], bucket, cap_sorted // d + 64
+        )
+        # local merge; sentinels sort last
+        rk = jnp.where(vmask, rk, I64_MAX)
+        ks, ps = jax.lax.sort((rk, rp), num_keys=1)
+        count = jnp.sum(vmask.astype(jnp.int32))
+        # pad/trim to cap_sorted (valid elements beyond it are overflow)
+        ovf = ovf + jnp.maximum(count - cap_sorted, 0)
+        count = jnp.minimum(count, cap_sorted)
+        ks = ks[:cap_sorted] if ks.shape[0] >= cap_sorted else jnp.pad(ks, (0, cap_sorted - ks.shape[0]), constant_values=I64_MAX)
+        ps = ps[:cap_sorted] if ps.shape[0] >= cap_sorted else jnp.pad(ps, (0, cap_sorted - ps.shape[0]), constant_values=-1)
+        return ks, ps, count, ovf
+
+    def dense_rank_to_positions(ks, ps, count):
+        """Dense-rank the sorted-order keys and route ranks back to the
+        position-sharded layout.  Returns (rank_l [m], overflow)."""
+        valid = jnp.arange(cap_sorted) < count
+        prev_last = jax.lax.ppermute(ks[jnp.maximum(count - 1, 0)][None], axis,
+                                     [(i, (i + 1) % d) for i in range(d)])[0]
+        prev_key = jnp.concatenate([prev_last[None], ks[:-1]])
+        changed = (ks != prev_key) & valid
+        changed = changed.at[0].set((shard_id() == 0) | changed[0])
+        local_rank = jnp.cumsum(changed.astype(jnp.int64), dtype=jnp.int64) - 1
+        nuniq = jnp.maximum(local_rank[jnp.maximum(count - 1, 0)] + 1, 0)
+        nuniq = jnp.where(count > 0, nuniq, 0)
+        off, _ = shard_offset(nuniq)
+        dense = (local_rank + off).astype(jnp.int64)
+        # route (pos, dense) by pos // m; elements must be grouped by target:
+        tgt = jnp.where(valid, (ps // m).astype(jnp.int32), d)  # invalid -> last+
+        order = jnp.argsort(tgt, stable=True).astype(jnp.int32)
+        tgt_s = tgt[order]
+        ps_s = ps[order]
+        dn_s = dense[order]
+        (rpos, rdn), vmask, ovf = bucket_exchange(
+            tgt_s, [(ps_s, jnp.int32(-1)), (dn_s, jnp.int64(-1))],
+            tgt_s, cap_x,
+        )
+        base = shard_id().astype(jnp.int64) * m
+        slot = jnp.where(vmask & (rpos >= 0), rpos.astype(jnp.int64) - base, m)
+        rank_l = jnp.zeros((m,), jnp.int64).at[slot].set(
+            jnp.where(vmask, rdn, 0), mode="drop"
+        )
+        return rank_l, ovf
+
+    def global_gather(val_l, gidx, sentinel):
+        """val[gidx] for arbitrary global indices (out-of-range -> sentinel)."""
+        mm = gidx.shape[0]
+        ok = (gidx >= 0) & (gidx < n_pad)
+        tgt = jnp.where(ok, (gidx // m).astype(jnp.int32), d)
+        order = jnp.argsort(tgt, stable=True).astype(jnp.int32)
+        tgt_s = tgt[order]
+        g_s = gidx[order].astype(jnp.int64)
+        slot_s = order.astype(jnp.int32)  # original slot to restore later
+        (rg, rslot), vmask, ovf = bucket_exchange(
+            tgt_s, [(g_s, jnp.int64(-1)), (slot_s, jnp.int32(-1))], tgt_s, cap_x
+        )
+        base = shard_id().astype(jnp.int64) * m
+        lidx = jnp.clip(rg - base, 0, m - 1)
+        vals = val_l[lidx]
+        # respond: the recv layout [d, cap_x] routes straight back with a2a
+        resp_v = a2a(vals.reshape(d, cap_x))
+        resp_slot = a2a(rslot.reshape(d, cap_x))
+        resp_ok = a2a(vmask.reshape(d, cap_x))
+        out = jnp.full((mm,), sentinel, vals.dtype)
+        flat_slot = jnp.where(resp_ok.reshape(-1), resp_slot.reshape(-1), mm)
+        out = out.at[flat_slot].set(resp_v.reshape(-1), mode="drop")
+        return jnp.where(ok, out, sentinel), ovf
+
+    spec = P(axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec, spec, P()),
+    )
+    def kernel(seqs_l, quals_l, lens_l):
+        me = shard_id()
+        rid0 = me.astype(jnp.int32) * nl
+        base = me.astype(jnp.int64) * m
+        overflow = jnp.zeros((), jnp.int32)
+
+        wcodes = _window_codes(seqs_l, lens_l)  # [nl, wp+_EXT]
+        w0 = _pack_word(wcodes, wp, 0).reshape(-1)  # span-10 word, local
+        lensl = lens_l.astype(jnp.int32)
+        k = jnp.arange(wp, dtype=jnp.int32)[None, :]
+        rid = rid0 + jnp.arange(nl, dtype=jnp.int32)[:, None]
+        is_pad2 = k > lensl[:, None]
+        term_near = (lensl[:, None] - k >= 0) & (lensl[:, None] - k < PACK)
+        tb2 = jnp.where(term_near, rid + 1, 0).astype(jnp.int64)
+        g_local = base + jnp.arange(m, dtype=jnp.int64)
+        tb = jnp.where(is_pad2, n_reads + 1 + g_local.reshape(nl, wp), tb2).reshape(-1)
+        w0m = jnp.where(is_pad2.reshape(-1), jnp.int64(2**30), w0.astype(jnp.int64))
+        key = (w0m << 32) | tb  # span-10 + read-index tie-break
+
+        pos = g_local.astype(jnp.int32)
+        ks, ps, count, ovf = dsort(key, pos)
+        overflow += ovf
+        rank_l, ovf = dense_rank_to_positions(ks, ps, count)
+        overflow += ovf
+
+        ranks = [rank_l]
+        for i, h in enumerate(spans[:-1]):
+            ra = halo_next(rank_l, h)
+            key = (rank_l << 31) | (ra + 2)
+            ks, ps, count, ovf = dsort(key, pos)
+            overflow += ovf
+            if i + 1 < len(spans) - 1:
+                rank_l, ovf = dense_rank_to_positions(ks, ps, count)
+                overflow += ovf
+                ranks.append(rank_l)
+
+        # ---- BWT / QS in sorted order (per-shard buffers + count) ----
+        text_l = jnp.where(
+            (k < lensl[:, None]),
+            jnp.pad(seqs_l, ((0, 0), (0, 1))).astype(jnp.uint8) + 1,
+            jnp.uint8(0),
+        ).reshape(-1)
+        qtext_l = jnp.pad(quals_l, ((0, 0), (0, 1))).reshape(-1)
+        sa = ps  # sorted-order suffix positions (valid under count)
+        slot_valid = jnp.arange(cap_sorted) < count
+        # invalid slots must not generate gather traffic (ps == -1 would wrap
+        # to n_pad-2 and flood the last shard's buckets)
+        prev = jnp.where(slot_valid, (sa.astype(jnp.int64) - 1) % n_pad, jnp.int64(-1))
+        cprev, ovf = global_gather(text_l, prev, jnp.uint8(0))
+        overflow += ovf
+        qprev, ovf = global_gather(qtext_l, prev, jnp.uint8(0))
+        overflow += ovf
+        is_term = cprev == 0
+        bwt_s = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
+        qs_s = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), qprev)
+
+        # ---- LCP in sorted order ----
+        prev_sa = jax.lax.ppermute(sa[jnp.maximum(count - 1, 0)][None], axis,
+                                   [(i, (i + 1) % d) for i in range(d)])[0]
+        far = jnp.int64(-(2**40))  # keeps a+h negative for any offset h
+        a = jnp.where(slot_valid, jnp.concatenate([prev_sa[None], sa[:-1]]).astype(jnp.int64), far)
+        b = jnp.where(slot_valid, sa.astype(jnp.int64), far)
+        h = jnp.zeros((cap_sorted,), jnp.int64)
+        for span, r in zip(reversed(spans[:-1]), reversed(ranks)):
+            va, ovf = global_gather(r, a + h, jnp.int64(-1)); overflow += ovf
+            vb, ovf = global_gather(r, b + h, jnp.int64(-2)); overflow += ovf
+            same = (va == vb) & (va >= 0)
+            h = jnp.where(same, h + span, h)
+        # remainder < PACK from the packed words
+        pa, ovf = global_gather(w0.astype(jnp.int64), a + h, jnp.int64(-1)); overflow += ovf
+        pb, ovf = global_gather(w0.astype(jnp.int64), b + h, jnp.int64(-2)); overflow += ovf
+        rem = jnp.zeros((cap_sorted,), jnp.int64)
+        nz = jnp.ones((cap_sorted,), bool)
+        eq = jnp.ones((cap_sorted,), bool)
+        for j in range(1, PACK + 1):
+            sh = 3 * (PACK - j)
+            eq = eq & ((pa >> sh) == (pb >> sh))
+            nz = nz & (((pa >> sh) & 7) != 0)
+            rem = rem + (eq & nz).astype(jnp.int64)
+        lcp_s = (h + rem).astype(jnp.int32)
+        lcp_s = jnp.where((shard_id() == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
+
+        n = jax.lax.psum(jnp.sum(lensl, dtype=jnp.int64), axis) + n_reads
+        overflow = jax.lax.psum(overflow, axis)
+        return (
+            bwt_s[None],
+            qs_s[None],
+            lcp_s[None],
+            sa[None],
+            count[None],
+            overflow[None],
+            n,
+        )
+
+    jitted = jax.jit(kernel)
+
+    def run(seqs_j, quals_j, lens_j):
+        b, q, l, sa_, c, o, n = jitted(seqs_j, quals_j, lens_j)
+        return (b.reshape(-1), q.reshape(-1), l.reshape(-1), sa_.reshape(-1),
+                c.reshape(-1), o.reshape(-1), n)
+
+    return run

@@ -1,0 +1,49 @@
+"""Sequence-sharded global EBWT vs the single-chip builder."""
+
+import numpy as np
+import pytest
+
+from bfqzip_tpu import ref_golden
+from bfqzip_tpu.io.fastq import read_fastq
+from bfqzip_tpu.parallel import make_mesh
+from bfqzip_tpu.parallel.global_ebwt import build_ebwt_sharded
+
+from conftest import golden_path
+from tests_util import tiny_batch
+
+
+@pytest.mark.parametrize("shape", [(1, 4), (1, 8)])
+def test_sharded_matches_reference_model(shape):
+    mesh = make_mesh(shape)
+    d = shape[1]
+    rng = np.random.default_rng(9)
+    batch = tiny_batch(rng, n_reads=var_reads(d), min_len=20, max_len=24, n_frac=0.02)
+    ref = ref_golden.build_ebwt(batch)
+    out = build_ebwt_sharded(batch.seqs, batch.quals, batch.lengths, mesh, axis="seq")
+    assert out.overflow == 0
+    assert out.n == ref.bwt.size
+    assert np.array_equal(out.bwt, ref.bwt)
+    assert np.array_equal(out.qs, ref.qs)
+    assert np.array_equal(out.lcp, ref.lcp)
+
+
+def var_reads(d):
+    return 16 * d
+
+
+def test_sharded_on_example():
+    mesh = make_mesh((1, 4))
+    batch = read_fastq(golden_path("example.in.fastq"))  # 100 reads, 101bp
+    ref = ref_golden.build_ebwt(batch)
+    out = build_ebwt_sharded(batch.seqs, batch.quals, batch.lengths, mesh, axis="seq")
+    assert out.overflow == 0
+    assert np.array_equal(out.bwt, ref.bwt)
+    assert np.array_equal(out.lcp, ref.lcp)
+
+
+def test_requires_divisible_reads():
+    mesh = make_mesh((1, 4))
+    rng = np.random.default_rng(1)
+    batch = tiny_batch(rng, n_reads=30, min_len=10, max_len=12)
+    with pytest.raises(ValueError):
+        build_ebwt_sharded(batch.seqs, batch.quals, batch.lengths, mesh)
