@@ -43,6 +43,8 @@ def build_parser():
                    help="split into this many independent blocks (reference parallel mode)")
     p.add_argument("-c", "--check", action="store_true", help="validate the input FASTQ")
     p.add_argument("-v", type=int, default=0, dest="verbose", help="verbosity")
+    p.add_argument("-D", "--debug-dump", action="store_true",
+                   help="write a per-position TSV of BWT/QS/LCP flags and print cluster/QS histograms (reference -D/-V modes)")
     p.add_argument("--decompress", action="store_true", help="decode .rans containers given as inputs")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p
@@ -99,6 +101,11 @@ def main(argv=None) -> int:
         original=args.original,
     )
 
+    for path in args.input:
+        if not os.path.exists(path):
+            print(f"error: input file not found: {path}", file=sys.stderr)
+            return 2
+
     out_base = args.out if args.out else None
     result = run_pipeline(
         args.input,
@@ -107,6 +114,7 @@ def main(argv=None) -> int:
         check=args.check,
         reorder=args.reorder,
         blocks=args.threads,
+        debug_dump=args.debug_dump,
     )
     if args.verbose:
         print("=== results ===")

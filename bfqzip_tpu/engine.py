@@ -53,7 +53,7 @@ def smooth_arrays_step(bwt, qs, lcp, n, n_reads: int, width: int, cfg: SmoothCon
     valid = jnp.arange(bwt.shape[0], dtype=jnp.int32) < n
     lf = lf_array(bwt, valid)
     inv = invert(bwt, out.bwt_sub, out.qs, lf, n_reads, width, binning=cfg.binning)
-    return inv, out.stats
+    return inv, out.bwt_sub, out.qs, out.stats
 
 
 def smooth_fastq(batch: ReadBatch, cfg: SmoothConfig | None = None) -> Tuple[ReadBatch, dict]:

@@ -77,8 +77,13 @@ def _split_records(data: bytes):
 
 
 def read_fastq(path: str, with_headers: bool = True, max_len: Optional[int] = None) -> ReadBatch:
+    """Read a FASTQ file (gzip-compressed inputs are detected by magic)."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     return parse_fastq(data, with_headers=with_headers, max_len=max_len)
 
 

@@ -85,7 +85,7 @@ def step1_build(batch: ReadBatch, base: str, log: StepLogger) -> None:
         )
 
 
-def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger):
+def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger, debug_dump: bool = False):
     """Cluster smoothing + inversion from the stage-1 artifacts."""
     import jax.numpy as jnp
 
@@ -105,7 +105,7 @@ def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger):
     lcp_p = np.pad(lcp, (0, pad))
 
     with log.step("step3: cluster smoothing + inversion"):
-        inv, stats = smooth_arrays_step(
+        inv, bwt_sub, qs_new, stats = smooth_arrays_step(
             jnp.asarray(bwt_p), jnp.asarray(qs_p), jnp.asarray(lcp_p),
             np.int32(n), n_reads, width, cfg.smooth,
         )
@@ -114,6 +114,21 @@ def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger):
             quals=np.asarray(inv.quals),
             lengths=np.asarray(inv.lengths).astype(np.int32),
         )
+
+    if debug_dump:
+        # reference -D/-V inspection outputs (bfq_int.cpp:829-862,1022-1053)
+        from bfqzip_tpu.utils import debug as dbg
+
+        bwt_sub_h = np.asarray(bwt_sub)[:n]
+        qs_new_h = np.asarray(qs_new)[:n]
+        with open(base + ".debug.tsv", "w") as f:
+            dbg.position_dump(bwt[:n], bwt_sub_h, qs[:n], qs_new_h, lcp[:n], cfg.smooth, f)
+        nonterm = bwt[:n] != 0
+        log.info("QS distribution before: " + str(dbg.qs_distribution(qs[:n], nonterm)))
+        log.info("QS distribution after:  " + str(dbg.qs_distribution(qs_new_h, nonterm)))
+        hist = dbg.cluster_size_histogram(lcp[:n], cfg.smooth)
+        log.info("cluster-size histogram:\n" + dbg.format_histogram(hist))
+
     return out, {k: int(v) for k, v in stats.items()}
 
 
@@ -181,6 +196,7 @@ def run_pipeline(
     reorder: int = 0,
     blocks: int = 0,
     logfile: Optional[str] = None,
+    debug_dump: bool = False,
 ) -> PipelineResult:
     """The full compression pipeline (reference BFQzip.py:31-174 surface)."""
     base = out_base or inputs[0]
@@ -229,7 +245,7 @@ def run_pipeline(
         with log.step("step3: --original (copy input)"):
             shutil.copyfile(inputs[0], base + ".fq")
     elif smoothed is None:
-        smoothed, stats = step3_smooth(base, cfg, log)
+        smoothed, stats = step3_smooth(base, cfg, log, debug_dump=debug_dump)
         hdrs = batch.headers if headers_on else None
         with open(base + ".fq", "wb") as f:
             f.write(format_fastq(smoothed, headers=hdrs))

@@ -40,3 +40,28 @@ def test_phase_profiler():
     assert "warmup" in prof.report()
     # CPU backend has no memory stats; the call must still be safe
     device_memory_stats()
+
+
+def test_debug_dump(tmp_path):
+    shutil.copyfile(golden_path("example.in.fastq"), tmp_path / "r.fastq")
+    base = str(tmp_path / "dbg")
+    run_pipeline([str(tmp_path / "r.fastq")], PipelineConfig(mode=0), out_base=base,
+                 debug_dump=True)
+    tsv = open(base + ".debug.tsv").read().splitlines()
+    assert tsv[0].startswith("pos\t")
+    assert len(tsv) == 10201
+    log = open(base + ".log").read()
+    assert "QS distribution before" in log
+    assert "cluster-size histogram" in log
+
+
+def test_gzip_input(tmp_path):
+    import gzip
+
+    from bfqzip_tpu.io.fastq import read_fastq
+
+    raw = open(golden_path("example.in.fastq"), "rb").read()
+    gz = tmp_path / "r.fastq.gz"
+    gz.write_bytes(gzip.compress(raw))
+    batch = read_fastq(str(gz))
+    assert batch.num_reads == 100
