@@ -43,6 +43,9 @@ def build_parser():
                    help="split into this many independent blocks (reference parallel mode)")
     p.add_argument("-c", "--check", action="store_true", help="validate the input FASTQ")
     p.add_argument("-v", type=int, default=0, dest="verbose", help="verbosity")
+    p.add_argument("--codecs", default="rans",
+                   help="comma-separated step-5 backends: rans,ppmd,bsc (default rans; "
+                        "ppmd/bsc shell out to 7z/bsc when installed)")
     p.add_argument("-D", "--debug-dump", action="store_true",
                    help="write a per-position TSV of BWT/QS/LCP flags and print cluster/QS histograms (reference -D/-V modes)")
     p.add_argument("--decompress", action="store_true", help="decode .rans containers given as inputs")
@@ -99,6 +102,7 @@ def main(argv=None) -> int:
         headers=args.headers or mode == 3,
         rebuild=args.rebuild,
         original=args.original,
+        codecs=tuple(c.strip() for c in args.codecs.split(",") if c.strip()),
     )
 
     for path in args.input:

@@ -320,16 +320,28 @@ def _blockwise_step1_3(batch, base, cfg, blocks, log):
     from bfqzip_tpu.engine import smooth_fastq
 
     n = batch.num_reads
-    size = n // blocks
+    size = (n + blocks - 1) // blocks
     parts = []
     for b in range(blocks):
         lo = b * size
-        hi = n if b == blocks - 1 else (b + 1) * size
-        sub = ReadBatch(
-            seqs=batch.seqs[lo:hi], quals=batch.quals[lo:hi], lengths=batch.lengths[lo:hi]
-        )
-        with log.step(f"block {b+1}/{blocks}: EBWT+smooth+invert ({hi-lo} reads)"):
+        hi = min((b + 1) * size, n)
+        take = hi - lo
+        # pad the final block to the common shape so a single jit compilation
+        # serves every block (dummy 1-base reads, lowest quality)
+        seqs_b = np.zeros((size, batch.max_len), np.uint8)
+        quals_b = np.zeros((size, batch.max_len), np.uint8)
+        lens_b = np.ones(size, np.int32)
+        seqs_b[:take] = batch.seqs[lo:hi]
+        quals_b[:take] = batch.quals[lo:hi]
+        lens_b[:take] = batch.lengths[lo:hi]
+        if take < size:
+            seqs_b[take:, 0] = 1
+            quals_b[take:, 0] = 33
+        sub = ReadBatch(seqs=seqs_b, quals=quals_b, lengths=lens_b)
+        with log.step(f"block {b+1}/{blocks}: EBWT+smooth+invert ({take} reads)"):
             out, _ = smooth_fastq(sub, cfg.smooth)
+        out = ReadBatch(seqs=out.seqs[:take], quals=out.quals[:take],
+                        lengths=out.lengths[:take])
         parts.append(out)
     width = max(p.max_len for p in parts)
     merged = ReadBatch(

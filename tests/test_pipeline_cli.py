@@ -74,6 +74,15 @@ def test_pipeline_block_mode(workdir):
     assert len(fq.split(b"\n")[1]) == 101
 
 
+def test_pipeline_block_mode_uneven(workdir):
+    base = str(workdir / "out_blocks3")
+    run_pipeline(
+        [str(workdir / "reads.fastq")], PipelineConfig(mode=0), out_base=base, blocks=3
+    )
+    fq = open(base + ".fq", "rb").read()
+    assert fq.count(b"\n") == 400  # all 100 reads survive uneven blocks
+
+
 def test_pipeline_original(workdir):
     base = str(workdir / "orig")
     run_pipeline(
