@@ -29,11 +29,15 @@ def smooth_step(seqs: jax.Array, quals: jax.Array, lengths: jax.Array, cfg: Smoo
     """The full device-side pipeline on a padded [N, L] read batch."""
     n_reads, width = seqs.shape
     ebwt = build_ebwt(seqs, quals, lengths)
-    # bwt[LF[j]] is the text symbol at SA[j]-2 — one gather, no LF array
-    # (dna_bwt_n.hpp:78-101 becomes pointer arithmetic on the kept SA)
-    n_pad = ebwt.bwt.shape[0]
-    tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
-    pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
+    # bwt[LF[j]] is the text symbol at SA[j]-2 (dna_bwt_n.hpp:78-101 becomes
+    # pointer arithmetic on the kept SA); the flat builder carries it through
+    # the sort as a payload, the doubling builder needs one gather
+    if ebwt.pre is not None:
+        pre = ebwt.pre
+    else:
+        n_pad = ebwt.bwt.shape[0]
+        tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
+        pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
     out = smooth(ebwt, cfg, pre=pre)
     inv = invert_via_sa(
         ebwt.sa, ebwt.bwt, out.bwt_sub, out.qs, ebwt.n, n_reads, width, binning=cfg.binning

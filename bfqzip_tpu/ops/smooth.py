@@ -136,9 +136,9 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     c_basenum = jnp.sum(c_freq, axis=1, dtype=jnp.int32)
     safe_basenum = jnp.maximum(c_basenum, 1)
 
-    c_start = jnp.zeros((ncap,), jnp.int32).at[jnp.where(open_mark, cid_all, dump)].set(pos)
-    c_size = c_end - c_start + 1
-    c_active = c_size >= m  # bfq_int.cpp:422 (guaranteed by run filtering)
+    # every numbered cluster has size >= m by construction (runs shorter than
+    # m-1 are filtered before numbering), so the reference's size check at
+    # bfq_int.cpp:422 is a tautology here — no c_start/c_size materialisation
 
     # ---- replacement quality newqs (bfq_int.cpp:307-373,462-473) ----
     if cfg.mode == 2:
@@ -176,7 +176,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     c_f0_code = codes_arr[c_f0]
     c_f1_code = codes_arr[jnp.maximum(c_f1, 0)]
 
-    c_has_bases = c_active & (c_basenum > 0)
+    c_has_bases = c_basenum > 0
 
     # single-symbol smoothing applies when:
     #   nf==1 and symbol != N                    (bfq_int.cpp:512-519)
@@ -264,7 +264,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     real = real & (jnp.arange(ncap, dtype=jnp.int32) != dump)
 
     def ccount(mask):
-        return jnp.sum((mask & real & c_active).astype(jnp.int32))
+        return jnp.sum((mask & real).astype(jnp.int32))
 
     stats = {
         "num_clust": ccount(jnp.ones((ncap,), bool)),
@@ -272,7 +272,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
         "num_clust_amb_discarded": ccount(c_two & ~c_two_ok),
         "num_clust_mod": ccount(c_single2 | c_two_ok),
         "num_clust_alleq": ccount(c_has_bases & (c_nnn == 1)),
-        "bases_inside": jnp.sum(jnp.where(c_active & real, c_basenum, 0)).astype(jnp.int32),
+        "bases_inside": jnp.sum(jnp.where(real, c_basenum, 0)).astype(jnp.int32),
         "modified": jnp.sum((s_replace | t_rep0 | t_rep1).astype(jnp.int32)),
         "qs_smoothed": jnp.sum((s_qs_const | s_qs_min | t_qs_const | t_qs_min).astype(jnp.int32)),
     }

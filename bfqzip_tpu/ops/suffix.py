@@ -17,26 +17,36 @@ that sort strictly after all real suffixes, so the n real suffixes occupy
 SA[0:n] and every shape stays static under jit; n = sum(len)+N is only ever
 used as a mask.
 
-Sort
+Sort — flat path (reads up to ~300bp, the production case)
 ----
-Round 0 sorts by PACK_WORDS 30-bit keys, each packing 10 window symbols
-(3 bits each: terminator->0 < bases 1..6; symbols at and after the terminator
-are zeroed so prefix-equal suffixes have equal keys), with a tie-break key
-that encodes the read index when the window contains the read's terminator
-(prefix-equal suffixes of different reads order by read index) and a unique
-large value for padding positions.  Each subsequent round is one variadic
-XLA sort doubling the span: 30 -> 60 -> 120 -> ... until the span covers
-L+1, at which point every real suffix rank is unique.  For 101bp reads that
-is 3 sorts total (the reference-equivalent plain doubling needs 8).
+Random gathers and scatters are the expensive primitives on TPU (~8x the cost
+of one extra sort operand at 20M elements, measured on v5e), so the flat path
+issues NONE: the ENTIRE suffix window (L+1 symbols) is packed into
+ceil((L+1)/10) 30-bit key words (3 bits per symbol: terminator->0 < bases
+1..6; symbols after the terminator zeroed) and suffix order is ONE variadic
+XLA sort.  The read index rides in the free low bits of the last key word
+(prefix-equal suffixes of different reads order by read index — gsufsort's
+distinct-terminator convention), padding rows get a forced max first word and
+a unique second word so they sort after all real suffixes deterministically.
+Everything downstream needs only *data at SA order*, so it is carried through
+the sort as payloads instead of gathered afterwards: the suffix position
+(-> SA), and one packed word holding the two preceding text symbols (-> BWT,
+and bwt[LF] for the smoother's SNP rule) plus the preceding quality (-> qs).
 
-LCP
+LCP — flat path
 ---
-lcp(SA[i-1], SA[i]) is decomposed greedily over the saved per-round ranks
-(span-s ranks equal iff the next s symbols match; terminator distinctness is
-embedded in the ranks, reproducing the reference's convention that LCP never
-extends past a terminator — sa_leaf depth semantics, include.hpp:513-527).
-The sub-span remainder is counted from the packed keys: leading equal 3-bit
-groups, gated by the first zero group (= terminator).
+lcp(SA[i-1], SA[i]) is the count of leading equal 3-bit groups between
+CONSECUTIVE sorted key rows, gated at the first zero group (= terminator) —
+pure elementwise work on the sort outputs, zero gathers.
+
+Sort/LCP — doubling path (long reads)
+----
+For reads too long to pack the whole window (wp > PACK*MAX_FLAT_WORDS), the
+flat sort degrades (too many key words), so a prefix-doubling path remains:
+round 0 sorts PACK_WORDS packed words, then each round is one variadic sort
+doubling the span 30 -> 60 -> 120 -> ... with dense re-ranking; the LCP is
+recovered by binary lifting over the saved per-round ranks plus a packed-key
+remainder count.
 """
 
 from __future__ import annotations
@@ -50,9 +60,10 @@ import jax.numpy as jnp
 from bfqzip_tpu import alphabet
 
 PACK = 10  # symbols per packed word (3 bits each, 30 bits used)
-PACK_WORDS = 3  # words in the round-0 key: initial span = PACK * PACK_WORDS
+PACK_WORDS = 3  # words in the doubling-path round-0 key: span = PACK * PACK_WORDS
 SPAN0 = PACK * PACK_WORDS
 _EXT = SPAN0 + PACK  # row extension so every packed word is in-row
+MAX_FLAT_WORDS = 32  # flat path covers reads up to PACK*MAX_FLAT_WORDS-1 bp
 
 
 class EbwtDevice(NamedTuple):
@@ -64,6 +75,7 @@ class EbwtDevice(NamedTuple):
     sa: jax.Array  # [n_pad] i32 positions into the padded text
     text: jax.Array  # [n_pad] u8: 1+code per base, 0 at terminator/padding slots
     n: jax.Array  # scalar i32: number of real BWT positions
+    pre: jax.Array | None = None  # [n_pad] u8: bwt[LF[i]] (symbol at SA[i]-2)
 
 
 PAD_CODE = jnp.uint8(alphabet.SIGMA)  # sentinel code for padding region
@@ -110,8 +122,101 @@ def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDev
 
     Returns fixed-shape arrays of size N*(L+1) whose first n entries are the
     real EBWT/QS/LCP (n = sum(lengths) + N); the rest is inert padding
-    (PAD_CODE bases, zero quality).
+    (PAD_CODE bases, zero quality).  Dispatches on read width: one flat
+    whole-window sort for short reads, prefix doubling beyond that.
     """
+    if seqs.shape[1] + 1 <= PACK * MAX_FLAT_WORDS:
+        return _build_ebwt_flat(seqs, quals, lengths)
+    return _build_ebwt_doubling(seqs, quals, lengths)
+
+
+def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDevice:
+    """One variadic sort over whole-window packed keys; no random gathers.
+
+    Key layout per suffix g = r*(L+1) + k (see module docstring): W packed
+    words covering symbols k..k+wp-1, the read index in the last word's free
+    low bits; payloads carry the suffix position and the two preceding text
+    symbols + preceding quality, so BWT/QS/pre come out of the sort directly.
+    """
+    n_reads, width = seqs.shape
+    wp = width + 1
+    n_pad = n_reads * wp
+    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+    lens = lengths.astype(jnp.int32)
+    n = (jnp.sum(lens, dtype=jnp.int32) + n_reads).astype(jnp.int32)
+
+    n_words = max(2, -(-wp // PACK))  # >= 2 so padding rows have a unique word 1
+    used_last = max(0, wp - PACK * (n_words - 1))
+    free_bits = 3 * (PACK - used_last)
+    if n_reads + 2 > (1 << free_bits):
+        n_words += 1  # extra pure-tie-break word for huge batches
+        used_last = 0
+        free_bits = 30
+
+    # symbol windows, extended so every packed word reads in-row
+    ext = PACK * n_words
+    k = jnp.arange(wp + ext, dtype=jnp.int32)[None, :]
+    base = jnp.pad(seqs, ((0, 0), (0, 1 + ext))).astype(jnp.uint8) + 1
+    wcodes = jnp.where(k < lens[:, None], base, jnp.uint8(0))
+
+    words = [_pack_word(wcodes, wp, w).reshape(-1) for w in range(n_words)]
+
+    kk = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    rid = jnp.arange(n_reads, dtype=jnp.int32)[:, None]
+    is_pad = (kk > lens[:, None]).reshape(-1)
+    g2 = (rid * wp + kk).reshape(-1)
+    # read index in the last word's free bits (distinct-terminator ordering);
+    # padding: first word forced above every real key, second word unique
+    words[-1] = words[-1] | jnp.broadcast_to(rid + 1, (n_reads, wp)).reshape(-1)
+    words[0] = jnp.where(is_pad, jnp.int32(1) << 30, words[0])
+    words[1] = jnp.where(is_pad, g2, words[1])
+
+    # payloads: suffix position; packed (prev symbol, prev quality, prev^2 symbol)
+    text_codes = jnp.where(
+        (kk < lens[:, None]), jnp.pad(seqs, ((0, 0), (0, 1))).astype(jnp.uint8) + 1, jnp.uint8(0)
+    )
+    tflat = text_codes.reshape(-1)
+    qtext = jnp.pad(quals, ((0, 0), (0, 1))).reshape(-1)
+    p1 = jnp.roll(tflat, 1).astype(jnp.int32)
+    aux = p1 | (jnp.roll(qtext, 1).astype(jnp.int32) << 3) | (jnp.roll(tflat, 2).astype(jnp.int32) << 11)
+
+    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words)
+    skeys, sa, saux = sorted_ops[:n_words], sorted_ops[-2], sorted_ops[-1]
+
+    # ---- BWT / permuted qualities / smoother predecessors from the payload ----
+    cprev = (saux & 7).astype(jnp.uint8)
+    is_term = cprev == 0
+    bwt = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
+    qs = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), ((saux >> 3) & 0xFF).astype(jnp.uint8))
+    c2 = ((saux >> 11) & 7).astype(jnp.uint8)
+    pre = jnp.where(c2 == 0, jnp.uint8(alphabet.TERM), c2 - 1)
+
+    valid = idx0 < n
+    bwt = jnp.where(valid, bwt, PAD_CODE)
+    qs = jnp.where(valid, qs, jnp.uint8(0))
+
+    # ---- LCP: leading equal 3-bit groups of consecutive sorted rows ----
+    lcp = jnp.zeros((n_pad,), jnp.int32)
+    eq = jnp.ones((n_pad,), bool)
+    nz = jnp.ones((n_pad,), bool)  # no terminator group seen yet
+    for w in range(n_words):
+        groups = used_last if w == n_words - 1 else PACK
+        if groups == 0:
+            continue
+        bw = skeys[w]
+        aw = jnp.concatenate([jnp.zeros((1,), jnp.int32), bw[:-1]])
+        for t in range(groups):
+            sh = 3 * (PACK - 1 - t)
+            eq = eq & ((aw >> sh) == (bw >> sh))
+            nz = nz & (((aw >> sh) & 7) != 0)
+            lcp = lcp + (eq & nz).astype(jnp.int32)
+    lcp = jnp.where(valid, lcp, 0).at[0].set(0)
+
+    return EbwtDevice(bwt=bwt, qs=qs, lcp=lcp, sa=sa, text=tflat, n=n, pre=pre)
+
+
+def _build_ebwt_doubling(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDevice:
+    """Prefix-doubling construction (long reads; see module docstring)."""
     n_reads, width = seqs.shape
     wp = width + 1
     n_pad = n_reads * wp

@@ -43,11 +43,14 @@ def make_block_step(mesh: Mesh, cfg: SmoothConfig, axes=("data", "seq")):
     def step(seqs, quals, lengths):
         n_blk, width = seqs.shape  # per-shard block shape (static)
         ebwt = build_ebwt(seqs, quals, lengths)
-        n_pad = ebwt.bwt.shape[0]
-        from bfqzip_tpu import alphabet
+        if ebwt.pre is not None:
+            pre = ebwt.pre
+        else:
+            from bfqzip_tpu import alphabet
 
-        tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
-        pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
+            n_pad = ebwt.bwt.shape[0]
+            tprev2 = ebwt.text[(ebwt.sa - 2) % n_pad]
+            pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
         sm = smooth(ebwt, cfg, pre=pre)
         inv = invert_via_sa(
             ebwt.sa, ebwt.bwt, sm.bwt_sub, sm.qs, ebwt.n, n_blk, width, binning=cfg.binning

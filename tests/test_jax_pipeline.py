@@ -41,6 +41,30 @@ def test_ebwt_random_tiny():
         assert np.array_equal(np.asarray(dev.lcp)[:n], ref.lcp)
 
 
+def test_ebwt_flat_doubling_agree():
+    """Both sort strategies must produce identical artifacts; the flat path
+    additionally carries the smoother's predecessor symbols (bwt[LF])."""
+    from bfqzip_tpu.ops.suffix import _build_ebwt_doubling, _build_ebwt_flat
+
+    rng = np.random.default_rng(7)
+    for n_reads, min_len, max_len in ((40, 2, 35), (12, 30, 33), (30, 9, 10)):
+        batch = tiny_batch(rng, n_reads=n_reads, min_len=min_len, max_len=max_len, n_frac=0.02)
+        args = (np.asarray(batch.seqs), np.asarray(batch.quals), np.asarray(batch.lengths))
+        flat = _build_ebwt_flat(*args)
+        dbl = _build_ebwt_doubling(*args)
+        n = int(flat.n)
+        assert n == int(dbl.n)
+        assert np.array_equal(np.asarray(flat.sa)[:n], np.asarray(dbl.sa)[:n])
+        assert np.array_equal(np.asarray(flat.bwt)[:n], np.asarray(dbl.bwt)[:n])
+        assert np.array_equal(np.asarray(flat.qs)[:n], np.asarray(dbl.qs)[:n])
+        assert np.array_equal(np.asarray(flat.lcp)[:n], np.asarray(dbl.lcp)[:n])
+        # pre == symbol at SA-2 (TERM for terminator/padding predecessors)
+        n_pad = flat.bwt.shape[0]
+        t2 = np.asarray(flat.text)[(np.asarray(flat.sa).astype(np.int64) - 2) % n_pad]
+        want = np.where(t2 == 0, 0, t2 - 1).astype(np.uint8)
+        assert np.array_equal(np.asarray(flat.pre)[:n], want[:n])
+
+
 @pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
 @pytest.mark.parametrize("mode", [0, 1, 2, 3])
 def test_golden_byte_equality(dataset, mode):
