@@ -60,16 +60,28 @@ def smooth_arrays_step(bwt, qs, lcp, n, n_reads: int, width: int, cfg: SmoothCon
     return inv, out.bwt_sub, out.qs, out.stats
 
 
-def smooth_fastq(batch: ReadBatch, cfg: SmoothConfig | None = None) -> Tuple[ReadBatch, dict]:
-    """Host wrapper: numpy ReadBatch in, smoothed numpy ReadBatch out."""
+def smooth_fastq(
+    batch: ReadBatch, cfg: SmoothConfig | None = None, bucket: bool = True
+) -> Tuple[ReadBatch, dict]:
+    """Host wrapper: numpy ReadBatch in, smoothed numpy ReadBatch out.
+
+    With bucket=True (default) the batch is padded to a compile-shape bucket
+    (io.fastq.pad_batch: dummy length -1 rows, inert in the EBWT) so arbitrary
+    dataset sizes hit the persistent compilation cache, and the output is
+    trimmed back to the original read count.
+    """
+    from bfqzip_tpu.io.fastq import pad_batch
+
     cfg = cfg or SmoothConfig()
+    run = pad_batch(batch) if bucket else batch
     inv, stats = smooth_step(
-        jnp.asarray(batch.seqs), jnp.asarray(batch.quals), jnp.asarray(batch.lengths), cfg
+        jnp.asarray(run.seqs), jnp.asarray(run.quals), jnp.asarray(run.lengths), cfg
     )
+    n0 = batch.num_reads
     out = ReadBatch(
-        seqs=np.asarray(inv.seqs),
-        quals=np.asarray(inv.quals),
-        lengths=np.asarray(inv.lengths).astype(np.int32),
+        seqs=np.asarray(inv.seqs)[:n0],
+        quals=np.asarray(inv.quals)[:n0],
+        lengths=np.asarray(inv.lengths)[:n0].astype(np.int32),
         headers=batch.headers,
     )
     return out, {k: int(v) for k, v in stats.items()}

@@ -51,6 +51,46 @@ class ReadBatch:
             raise ValueError("read longer than padded width")
 
 
+def bucket_shape(n_reads: int, width: int) -> tuple[int, int]:
+    """Round a batch shape up to a small set of compile buckets.
+
+    XLA:TPU recompiles per shape and wide variadic sorts compile slowly, so
+    arbitrary dataset sizes are padded to (1, 1.25, 1.5, 1.75) x 2^k reads
+    and a multiple-of-16 width (<= 33% wasted rows, amortised by the
+    persistent compilation cache).  Width multiples of 16 also keep
+    (width+1) % 10 != 0, so the flat suffix sort never needs an extra
+    tie-break word.
+    """
+    w = max(16, -(-width // 16) * 16)
+    if n_reads <= 128:
+        return max(n_reads, 1), w
+    k = max((n_reads - 1).bit_length() - 2, 0)
+    step = 1 << k
+    n = -(-n_reads // step) * step
+    return n, w
+
+
+def pad_batch(batch: ReadBatch) -> ReadBatch:
+    """Pad a batch to its compile bucket with dummy rows of length -1.
+
+    Dummy rows contribute NOTHING to the EBWT (no terminator, no suffixes —
+    ops/suffix.py treats length -1 as all-padding), so the pipeline output on
+    a padded batch equals the unpadded output plus trailing zero-length rows;
+    callers trim with `batch.num_reads` rows of the result.
+    """
+    n0, w0 = batch.num_reads, batch.max_len
+    n1, w1 = bucket_shape(n0, w0)
+    if (n1, w1) == (n0, w0):
+        return batch
+    seqs = np.zeros((n1, w1), np.uint8)
+    quals = np.zeros((n1, w1), np.uint8)
+    seqs[:n0, :w0] = batch.seqs
+    quals[:n0, :w0] = batch.quals
+    lengths = np.full((n1,), -1, np.int32)
+    lengths[:n0] = batch.lengths
+    return ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=batch.headers)
+
+
 def _split_records(data: bytes):
     """Split raw FASTQ bytes into line-index arrays.
 

@@ -50,25 +50,23 @@ def invert_via_sa(
     """Reconstruction without LF walking: this framework keeps the suffix
     array, and each non-terminator BWT position i holds the (possibly
     corrected) read character at text position SA[i]-1 — so the smoothed
-    FASTQ is ONE scatter of (base, quality) back to read coordinates,
+    FASTQ is ONE permutation of (base, quality) back to read coordinates,
     replacing the reference's n sequential LF steps (bfq_int.cpp:775-791)
-    entirely.  The LF-walk variant below remains for resuming from on-disk
-    artifacts, which carry no SA."""
+    entirely.  (SA-1) mod n_pad is a bijection over text slots, so the
+    permutation is applied as one 2-operand key/value sort — cheaper than a
+    20M-element scatter on TPU (~105ms vs ~170ms measured on v5e).  The
+    LF-walk variant below remains for resuming from on-disk artifacts,
+    which carry no SA."""
     if binning:
         qs = illumina_bin_jax(qs)
     n_pad = bwt.shape[0]
     wp = n_pad // n_reads  # width + 1
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     is_char = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA)) & (idx < n)
-    prev = (sa - 1) % n_pad
-    target = jnp.where(is_char, prev, n_pad)  # out-of-range -> dropped
-    packed = (qs.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32)
-    grid = (
-        jnp.zeros((n_pad,), jnp.int32)
-        .at[target]
-        .set(packed, mode="drop", unique_indices=True)
-        .reshape(n_reads, wp)
-    )
+    target = (sa - 1) % n_pad  # dense: every text slot receives exactly one entry
+    packed = jnp.where(is_char, (qs.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32), 0)
+    _, grid_flat = jax.lax.sort((target, packed), num_keys=1)
+    grid = grid_flat.reshape(n_reads, wp)
     seqs = (grid[:, :width] & 0xFF).astype(jnp.uint8)
     quals = ((grid[:, :width] >> 8) & 0xFF).astype(jnp.uint8)
     lengths = jnp.sum((seqs != 0).astype(jnp.int32), axis=1, dtype=jnp.int32)

@@ -143,7 +143,11 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     n_pad = n_reads * wp
     idx0 = jnp.arange(n_pad, dtype=jnp.int32)
     lens = lengths.astype(jnp.int32)
-    n = (jnp.sum(lens, dtype=jnp.int32) + n_reads).astype(jnp.int32)
+    # rows with length -1 are shape-bucketing dummies: no terminator, no
+    # suffixes, zero contribution to the EBWT (io.fastq.pad_batch)
+    real_read = lens >= 0
+    n = (jnp.sum(jnp.maximum(lens, 0), dtype=jnp.int32)
+         + jnp.sum(real_read.astype(jnp.int32), dtype=jnp.int32)).astype(jnp.int32)
 
     n_words = max(2, -(-wp // PACK))  # >= 2 so padding rows have a unique word 1
     used_last = max(0, wp - PACK * (n_words - 1))
@@ -222,7 +226,8 @@ def _build_ebwt_doubling(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) 
     n_pad = n_reads * wp
     idx0 = jnp.arange(n_pad, dtype=jnp.int32)
     lens = lengths.astype(jnp.int32)
-    n = (jnp.sum(lens, dtype=jnp.int32) + n_reads).astype(jnp.int32)
+    n = (jnp.sum(jnp.maximum(lens, 0), dtype=jnp.int32)
+         + jnp.sum((lens >= 0).astype(jnp.int32), dtype=jnp.int32)).astype(jnp.int32)
 
     wcodes = _window_codes(seqs, lengths)  # [N, wp+_EXT]
     words = [_pack_word(wcodes, wp, w).reshape(-1) for w in range(PACK_WORDS)]

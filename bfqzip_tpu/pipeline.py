@@ -66,8 +66,11 @@ def step1_build(batch: ReadBatch, base: str, log: StepLogger) -> None:
     from bfqzip_tpu.ops.suffix import build_ebwt
 
     with log.step("step1: EBWT+QS+LCP construction"):
+        from bfqzip_tpu.io.fastq import pad_batch
+
+        run = pad_batch(batch)  # compile-shape bucket; dummy rows are EBWT-inert
         dev = build_ebwt(
-            jnp.asarray(batch.seqs), jnp.asarray(batch.quals), jnp.asarray(batch.lengths)
+            jnp.asarray(run.seqs), jnp.asarray(run.quals), jnp.asarray(run.lengths)
         )
         n = int(dev.n)
         bwt = np.asarray(dev.bwt)[:n]

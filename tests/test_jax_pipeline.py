@@ -41,6 +41,28 @@ def test_ebwt_random_tiny():
         assert np.array_equal(np.asarray(dev.lcp)[:n], ref.lcp)
 
 
+def test_bucket_padding_inert():
+    """Dummy length -1 rows (shape bucketing) must not change the EBWT or the
+    smoothed output beyond appending zero-length rows."""
+    from bfqzip_tpu.io.fastq import bucket_shape, pad_batch
+
+    rng = np.random.default_rng(5)
+    batch = tiny_batch(rng, n_reads=37, min_len=5, max_len=21, n_frac=0.02)
+    padded = pad_batch(batch)
+    assert padded.num_reads >= batch.num_reads and padded.max_len >= batch.max_len
+    a = build_ebwt(np.asarray(batch.seqs), np.asarray(batch.quals), np.asarray(batch.lengths))
+    b = build_ebwt(np.asarray(padded.seqs), np.asarray(padded.quals), np.asarray(padded.lengths))
+    n = int(a.n)
+    assert n == int(b.n)
+    for f in ("bwt", "qs", "lcp"):
+        assert np.array_equal(np.asarray(getattr(a, f))[:n], np.asarray(getattr(b, f))[:n]), f
+    # bucketing is idempotent and monotone
+    for nr, w in ((1, 3), (100, 101), (129, 101), (200_000, 101), (12_345, 250)):
+        n1, w1 = bucket_shape(nr, w)
+        assert n1 >= nr and w1 >= w
+        assert bucket_shape(n1, w1) == (n1, w1) or n1 <= 128
+
+
 def test_ebwt_flat_doubling_agree():
     """Both sort strategies must produce identical artifacts; the flat path
     additionally carries the smoother's predecessor symbols (bwt[LF])."""

@@ -6,7 +6,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from bfqzip_tpu import SmoothConfig, alphabet
 from bfqzip_tpu.ops.suffix import build_ebwt
 
-N, L = 200_000, 101
+N, L = 100_000, 101
 rng = np.random.default_rng(0)
 bases = np.array([1,2,3,5], dtype=np.uint8)
 seqs = jnp.asarray(bases[rng.integers(0,4,size=(N,L))])
@@ -19,6 +19,7 @@ def force(r):
 
 ebwt = jax.jit(build_ebwt)(seqs, quals, lengths); force(ebwt)
 bwt, qs, lcp, n, pre = ebwt.bwt, ebwt.qs, ebwt.lcp, ebwt.n, ebwt.pre
+del ebwt, seqs, quals, lengths
 n_pad = bwt.shape[0]
 m = cfg.min_cluster
 
