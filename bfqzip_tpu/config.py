@@ -45,6 +45,12 @@ class SmoothConfig:
         if self.k < 1:
             raise ValueError("k must be >= 1")
 
+    @property
+    def mode_name(self) -> str:
+        """Strategy name for the runtime mode (the reference's compile-time -DM
+        fork, src_int_mem/Makefile:12-16 / bfq_int.cpp:307-373,462-473)."""
+        return ("max_qs", "mean_error", "constant", "avg_qs")[self.mode]
+
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:

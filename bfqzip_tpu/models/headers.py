@@ -41,33 +41,44 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
     return ((z >> 1).astype(np.int64)) ^ -(z & 1).astype(np.int64)
 
 
+_MAX_VARINT_BYTES = 10  # ceil(64 / 7)
+
+
 def _varint_encode(vals: np.ndarray) -> bytes:
-    out = bytearray()
-    for v in vals.tolist():
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    """LEB128 of u64 values, fully vectorised (no per-value Python loop)."""
+    v = vals.astype(np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    shifts = (np.uint64(7) * np.arange(_MAX_VARINT_BYTES, dtype=np.uint64))[None, :]
+    groups = ((v[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)  # [n, 10]
+    # bytes per value: index of the last nonzero 7-bit group, at least 1
+    nz = groups != 0
+    nbytes = np.where(nz.any(axis=1), _MAX_VARINT_BYTES - np.argmax(nz[:, ::-1], axis=1), 1)
+    keep = np.arange(_MAX_VARINT_BYTES)[None, :] < nbytes[:, None]
+    cont = np.arange(_MAX_VARINT_BYTES)[None, :] < (nbytes - 1)[:, None]
+    out = np.where(cont, groups | 0x80, groups)
+    return out[keep].tobytes()
 
 
 def _varint_decode(data: np.ndarray, count: int) -> np.ndarray:
+    """Inverse of _varint_encode, vectorised over the whole byte stream."""
+    if count == 0:
+        return np.zeros(0, np.uint64)
+    b = np.asarray(data, np.uint8)
+    term = (b & 0x80) == 0
+    # value index of each byte; byte position within its value
+    vid = np.zeros(b.size, np.int64)
+    vid[1:] = np.cumsum(term.astype(np.int64))[:-1]
+    starts = np.zeros(count, np.int64)
+    ends = np.flatnonzero(term)
+    if ends.size != count:
+        raise ValueError("varint stream length mismatch")
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[vid]
     vals = np.zeros(count, np.uint64)
-    i = 0
-    for j in range(count):
-        shift = 0
-        v = 0
-        while True:
-            b = int(data[i]); i += 1
-            v |= (b & 0x7F) << shift
-            if not b & 0x80:
-                break
-            shift += 7
-        vals[j] = v
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.bitwise_or.at(vals, vid, contrib)
     return vals
 
 
