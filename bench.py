@@ -4,29 +4,37 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
+The workload is Illumina-like coverage data (reads sampled from a synthetic
+genome with errors + realistic qualities — tools/make_realistic.py), so the
+clustering/smoothing path does real substitution work; uniform-random DNA
+yields almost no LCP>=16 clusters and under-stresses the pipeline.
+
 vs_baseline compares against the reference implementation measured on this
-machine (see BASELINE.md): bfq_int (compiled from the reference sources,
-M=2 B=0, `-m 5`) processes a 200K x 101bp synthetic dataset at 2.114 Mbases/s
-— and that covers only its steps 2-5 (load+index, cluster detect, smooth,
-invert); the reference's step-1 gsufsort EBWT construction is NOT included
-because its submodule is not vendored.  Our number covers the FULL pipeline
-including EBWT+LCP construction, so vs_baseline understates the true speedup.
+machine (BASELINE.md): bfq_int (compiled from the reference sources, M=2 B=0,
+`-m 5`) processes a 100K x 101bp realistic dataset at 2.39 Mbases/s — and
+that covers only its steps 2-5 (load+index, cluster detect, smooth, invert);
+the reference's step-1 gsufsort EBWT construction is NOT included because its
+submodule is not vendored.  Our number covers the FULL pipeline including
+EBWT+LCP construction, so vs_baseline understates the true speedup.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
-# measured on this machine (BASELINE.md): reference bfq_int steps 2-5
-REF_BASES_PER_SEC = 2.114e6
+# measured on this machine (BASELINE.md): reference bfq_int steps 2-5 on the
+# realistic 100K workload
+REF_BASES_PER_SEC = 2.39e6
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--reads", type=int, default=200_000)
     ap.add_argument("--len", dest="read_len", type=int, default=101)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--uniform", action="store_true", help="uniform-random DNA (no clusters)")
     args = ap.parse_args()
     if args.reads <= 0 or args.read_len <= 0 or args.reps <= 0:
         ap.error("--reads, --len and --reps must be positive")
@@ -39,13 +47,21 @@ def main():
 
     import numpy as np
 
-    from bfqzip_tpu import SmoothConfig
+    from bfqzip_tpu import SmoothConfig, alphabet
     from bfqzip_tpu.engine import smooth_step
 
-    rng = np.random.default_rng(0)
-    bases = np.array([1, 2, 3, 5], dtype=np.uint8)
-    seqs = bases[rng.integers(0, 4, size=(args.reads, args.read_len))]
-    quals = (33 + rng.integers(2, 42, size=(args.reads, args.read_len))).astype(np.uint8)
+    if args.uniform:
+        rng = np.random.default_rng(0)
+        bases = np.array([1, 2, 3, 5], dtype=np.uint8)
+        seqs = bases[rng.integers(0, 4, size=(args.reads, args.read_len))]
+        quals = (33 + rng.integers(2, 42, size=(args.reads, args.read_len))).astype(np.uint8)
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from make_realistic import make
+
+        genome_mb = max(args.reads * args.read_len / 34e6, 0.05)  # ~34x coverage
+        seq_ascii, quals = make(args.reads, args.read_len, genome_mb, 0, 0.005, 0.001)
+        seqs = alphabet.encode(seq_ascii)
     lengths = np.full(args.reads, args.read_len, np.int32)
     total_bases = args.reads * args.read_len
     cfg = SmoothConfig()

@@ -66,8 +66,11 @@ def main(argv=None) -> int:
     if args.decompress:
         from bfqzip_tpu.pipeline import decompress_stream
 
+        if args.out and len(args.input) != 1:
+            print("error: --decompress -o takes exactly one input", file=sys.stderr)
+            return 2
         for path in args.input:
-            out = decompress_stream(path)
+            out = decompress_stream(path, args.out or None)
             print(f"{path} -> {out}")
         return 0
 

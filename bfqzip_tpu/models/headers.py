@@ -94,7 +94,7 @@ def encode_headers(headers: List[bytes]) -> bytes:
                 uniform = False
                 break
     if not uniform:
-        blob = rans.encode_best(b"\n".join(headers) + b"\n" if n else b"")
+        blob = rans.encode_blob_best(b"\n".join(headers) + b"\n" if n else b"")
         return MAGIC + struct.pack("<IB", n, 255) + blob
 
     parts = [MAGIC + struct.pack("<IB", n, nf)]
@@ -111,13 +111,13 @@ def encode_headers(headers: List[bytes]) -> bytes:
             deltas[0] = vals[0]
             deltas[1:] = vals[1:] - vals[:-1]
             payload = _varint_encode(_zigzag(deltas))
-            blob = rans.encode_best(payload)
+            blob = rans.encode_blob_best(payload)
             parts.append(struct.pack("<BBI", 1, width_flag, len(blob)) + blob)
         elif all(c == col[0] for c in col):
             parts.append(struct.pack("<BI", 0, len(col[0])) + col[0])
         else:
             joined = b"\n".join(col)
-            blob = rans.encode_best(joined)
+            blob = rans.encode_blob_best(joined)
             parts.append(struct.pack("<BI", 2, len(blob)) + blob)
     return b"".join(parts)
 
@@ -128,7 +128,7 @@ def decode_headers(blob: bytes) -> List[bytes]:
     n, nf = struct.unpack_from("<IB", blob, 4)
     off = 9
     if nf == 255:  # non-uniform fallback
-        data = bytes(rans.decode(blob[off:]))
+        data = bytes(rans.decode_blob(blob[off:]))
         return data.split(b"\n")[:n]
     cols = []
     for _ in range(nf):
@@ -140,7 +140,7 @@ def decode_headers(blob: bytes) -> List[bytes]:
             cols.append([lit] * n)
         elif kind == 1:
             width_flag, blen = struct.unpack_from("<BI", blob, off + 1)
-            payload = bytes(rans.decode(blob[off + 6 : off + 6 + blen]))
+            payload = bytes(rans.decode_blob(blob[off + 6 : off + 6 + blen]))
             off += 6 + blen
             deltas = _unzigzag(_varint_decode(np.frombuffer(payload, np.uint8), n))
             vals = np.cumsum(deltas)
@@ -150,7 +150,7 @@ def decode_headers(blob: bytes) -> List[bytes]:
                 cols.append([b"%d" % v for v in vals])
         elif kind == 2:
             (blen,) = struct.unpack_from("<I", blob, off + 1)
-            joined = bytes(rans.decode(blob[off + 5 : off + 5 + blen]))
+            joined = bytes(rans.decode_blob(blob[off + 5 : off + 5 + blen]))
             off += 5 + blen
             cols.append(joined.split(b"\n"))
         else:

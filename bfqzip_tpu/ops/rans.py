@@ -170,6 +170,34 @@ def encode_best(data, lanes: int = DEFAULT_LANES, prefer_native: bool = True) ->
     return min(blobs, key=len)
 
 
+def encode_blob_best(data, lanes: int = DEFAULT_LANES) -> bytes:
+    """Best available entropy container for a byte stream: the adaptive
+    context-model coder (BQZC, native/cm_codec.cpp) when the native library
+    is built, vs the static-table rANS (BQZR); smallest wins.  Decode with
+    decode_blob, which dispatches on the magic."""
+    from bfqzip_tpu.utils import native
+
+    blobs = [encode_best(data, lanes)]
+    if native.cm_available():
+        raw = data if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8).tobytes()
+        blobs.append(native.cm_encode(raw))
+    return min(blobs, key=len)
+
+
+def decode_blob(blob: bytes) -> np.ndarray:
+    """Decode any bfqzip entropy container (BQZR rANS or BQZC context-model)."""
+    if blob[:4] == b"BQZC":
+        from bfqzip_tpu.utils import native
+
+        out = native.cm_decode(blob)
+        if out is None:
+            raise RuntimeError(
+                "BQZC container needs the native library (make -C native)"
+            )
+        return out
+    return decode(blob)
+
+
 def decode(blob: bytes) -> np.ndarray:
     if blob[:4] != MAGIC:
         raise ValueError("not a bfqzip rANS container")

@@ -1,27 +1,30 @@
 """Positional clustering + noise reduction + quality smoothing, vectorised.
 
 Replaces the sequential cluster scan and per-cluster loops of the reference
-(bfq_int.cpp:376-737) with interval reductions over the whole EBWT.  The
-kernel-level design targets TPU execution cost = (few fused passes) rather
-than a literal translation:
+(bfq_int.cpp:376-737) with SEGMENTED SCANS over the whole EBWT.  The round-1
+design kept per-cluster arrays addressed by gather/scatter (cluster-id
+expansion, end-sampling of prefix sums); measurement on v5e
+(tools/bench_prims.py) showed every multi-million-index gather/scatter costs
+170-200 ms at 20M elements while 1-D scans cost ~0.1 ms, so this version
+keeps ALL per-cluster state in scan form and never materialises a
+cluster-indexed array:
 
   * LCP_threshold / LCP_minima are elementwise predicates on the explicit LCP
     array (the LCP-array form of the suffix-tree traversal, see
     ref_golden.lcp_bitvectors for the equivalence argument);
   * clusters are maximal runs of (threshold & ~minima) extended one position
-    left (border=1, bfq_int.cpp:67,416-417).  Runs shorter than
-    min_cluster-1 are filtered out before numbering — the reference discards
-    them before touching any counter (bfq_int.cpp:422), and filtering bounds
-    the cluster count by n/min_cluster, shrinking every per-cluster array;
-  * ALL per-cluster sums ride ONE cumulative-sum over a masked [n, C] channel
-    matrix, sampled by a single row-gather at cluster ends (channels are
-    masked to cluster members, so prefix sums are constant between clusters
-    and consecutive end-samples difference to per-cluster sums);
-  * per-cluster decisions are packed into one 30-bit word so a single gather
-    word[cid] drives every per-position update;
+    left (border=1, bfq_int.cpp:67,416-417); runs shorter than min_cluster-1
+    are filtered before anything is counted (bfq_int.cpp:422);
+  * per-cluster symbol counts / trusted-base flags / predecessor-pair
+    presence are segmented cumsums, restarted at cluster opens — each is two
+    native 1-D scans (ops/scan.seg_cumsum_nn), their value at the cluster
+    CLOSE position is the cluster total;
+  * the per-cluster decision word (one 30-bit pack of every smoothing
+    decision) is computed elementwise at close positions and broadcast back
+    over the members by one keep-left segmented scan — no cluster-id gather;
   * the SNP-candidate rule for two frequent symbols uses predecessor symbols
-    bwt[LF[j]] — a single global gather instead of per-occurrence pointer
-    chasing (bfq_int.cpp:545-611).
+    bwt[LF[j]] carried through the suffix sort as payload (ops/suffix.py),
+    not per-occurrence pointer chasing (bfq_int.cpp:545-611).
 
 Outputs are the substituted BWT, the smoothed quality permutation, and the
 reference's cluster/quality/base counters (bfq_int.cpp:53-65).
@@ -37,6 +40,7 @@ import jax.numpy as jnp
 from bfqzip_tpu import alphabet
 from bfqzip_tpu.config import SmoothConfig
 from bfqzip_tpu.ops.rank import lf_array
+from bfqzip_tpu.ops.scan import _seg_scan, next_marked, seg_cumor, seg_cumsum
 from bfqzip_tpu.ops.suffix import EbwtDevice
 
 # reference ord order (bfq_int.cpp:106-110): index o -> alphabet code
@@ -96,85 +100,102 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
 
     open_mark = ~pred & jnp.concatenate([in_run_elig[1:], jnp.zeros((1,), bool)])
     in_cluster = in_run_elig | open_mark
-    cid_all = jnp.cumsum(open_mark.astype(jnp.int32), dtype=jnp.int32) - 1
-
-    ncap = n_pad // max(m, 2) + 2
-    dump = ncap - 1
-    cid = jnp.where(in_cluster, cid_all, dump)
     close_mark = in_run_elig & ~pred_next
-    c_end = jnp.zeros((ncap,), jnp.int32).at[jnp.where(close_mark, cid_all, dump)].set(pos)
 
     nonterm_pos = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA))
     qt = cfg.quality_threshold + 33
 
-    # ---- one fused channel matrix, one cumsum, one end-sample row-gather ----
     if pre is None:
         # symbol preceding each BWT position: bwt[LF[j]] (bfq_int.cpp:547)
         lf = lf_array(bwt, valid)
         pre = bwt[lf]
 
-    chans = []  # list of [n_pad] i32, masked to cluster members
-    mask_i = in_cluster.astype(jnp.int32)
-    for code in _ORD_CODES:
-        chans.append((bwt == code).astype(jnp.int32) * mask_i)  # freq, 5
-    for code in _ORD_CODES:
-        chans.append(((bwt == code) & (qs >= qt)).astype(jnp.int32) * mask_i)  # high, 5
-    # predecessor-presence channels for the SNP rule: (symbol s, predecessor d)
-    for s in (alphabet.A, alphabet.C, alphabet.G, alphabet.T):
-        for d in (alphabet.A, alphabet.C, alphabet.G, alphabet.T):
-            chans.append(((bwt == s) & (pre == d)).astype(jnp.int32) * mask_i)  # 16
-    if cfg.mode == 3:
-        chans.append(jnp.where(nonterm_pos, qs.astype(jnp.int32), 0) * mask_i)
-    X = jnp.stack(chans, axis=1)  # [n_pad, C]
-    inc = jnp.cumsum(X, axis=0, dtype=jnp.int32)
-    G = inc[c_end]  # [ncap, C]; garbage rows masked later
-    S = G - jnp.concatenate([jnp.zeros((1, G.shape[1]), jnp.int32), G[:-1]], axis=0)
+    # ---- per-cluster totals: ONE batched segmented cumsum for the 5 symbol
+    # counts + ONE segmented OR for the 21 presence bits (packed into a
+    # single word: 0-4 trusted-base presence per ord symbol, 5-20 the
+    # (symbol s, predecessor d) pairs of the SNP rule), read at closes ----
+    mask_i = in_cluster
+    acgt = (alphabet.A, alphabet.C, alphabet.G, alphabet.T)
+    X = jnp.stack(
+        [mask_i & (bwt == code) for code in _ORD_CODES], axis=0
+    ).astype(jnp.int32)  # [5, n]
+    S = seg_cumsum(X, open_mark)
+    c_freq = [S[o] for o in range(5)]
 
-    c_freq = S[:, 0:5]
-    c_high = (S[:, 5:10] > 0).astype(jnp.int32)
-    c_uall = (S[:, 10:26].reshape(ncap, 4, 4) > 0).astype(jnp.int32)  # [ncap, s, d]
-    c_basenum = jnp.sum(c_freq, axis=1, dtype=jnp.int32)
+    pmask = jnp.zeros((n_pad,), jnp.int32)
+    for o, code in enumerate(_ORD_CODES):
+        pmask = pmask | (((bwt == code) & (qs >= qt)).astype(jnp.int32) << o)
+    for si, s in enumerate(acgt):
+        for d_i, d in enumerate(acgt):
+            pmask = pmask | (((bwt == s) & (pre == d)).astype(jnp.int32) << (5 + 4 * si + d_i))
+    ors = seg_cumor(jnp.where(mask_i, pmask, 0), open_mark)
+    c_high = [(ors >> o) & 1 for o in range(5)]
+    c_u = [[(ors >> (5 + 4 * si + d)) & 1 for d in range(4)] for si in range(4)]
+
+    c_basenum = c_freq[0] + c_freq[1] + c_freq[2] + c_freq[3] + c_freq[4]
     safe_basenum = jnp.maximum(c_basenum, 1)
 
-    # every numbered cluster has size >= m by construction (runs shorter than
-    # m-1 are filtered before numbering), so the reference's size check at
-    # bfq_int.cpp:422 is a tautology here — no c_start/c_size materialisation
+    # every eligible run has size >= m by construction (runs shorter than m-1
+    # are filtered before numbering), so the reference's size check at
+    # bfq_int.cpp:422 is a tautology here
 
     # ---- replacement quality newqs (bfq_int.cpp:307-373,462-473) ----
     if cfg.mode == 2:
-        c_newqs = jnp.full((ncap,), cfg.default_qs, jnp.int32)
+        c_newqs = jnp.full((n_pad,), cfg.default_qs, jnp.int32)
     elif cfg.mode == 0:
-        # interval max is not prefix-decomposable; one segment_max only here
-        c_newqs = jax.ops.segment_max(
-            jnp.where(in_cluster & nonterm_pos, qs.astype(jnp.int32), 0),
-            cid,
-            num_segments=ncap,
-            indices_are_sorted=True,
+        c_newqs = _seg_scan(
+            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
+            open_mark,
+            jnp.maximum,
+            0,
         )
     elif cfg.mode == 3:
-        c_newqs = S[:, 26] // safe_basenum
+        # segment-local i32 sums (no global cumsum: avoids overflow at scale)
+        qsum = _seg_scan(
+            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
+            open_mark,
+            jnp.add,
+            0,
+        )
+        c_newqs = qsum // safe_basenum
     else:  # mode 1: mean error in the reference's double precision when x64
         # is on (tests/CLI); f32 fallback can differ +-1 on half-boundaries.
         ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        err = jnp.where(nonterm_pos & in_cluster, jnp.power(ftype(10.0), -(qs.astype(ftype) - 33.0) / 10.0), ftype(0.0))
-        einc = jnp.cumsum(err)
-        eG = einc[c_end]
-        c_esum = eG - jnp.concatenate([jnp.zeros((1,), ftype), eG[:-1]])
+        err = jnp.where(
+            nonterm_pos & mask_i,
+            jnp.power(ftype(10.0), -(qs.astype(ftype) - 33.0) / 10.0),
+            ftype(0.0),
+        )
+        c_esum = _seg_scan(err, open_mark, jnp.add, ftype(0.0))
         avg = c_esum / safe_basenum.astype(ftype)
         # C round(): half away from zero (the argument is always positive here)
-        c_newqs = jnp.floor(-10.0 * jnp.log10(jnp.maximum(avg, ftype(1e-300 if ftype == jnp.float64 else 1e-30))) + 0.5).astype(jnp.int32) + 33
+        c_newqs = (
+            jnp.floor(
+                -10.0
+                * jnp.log10(jnp.maximum(avg, ftype(1e-300 if ftype == jnp.float64 else 1e-30)))
+                + 0.5
+            ).astype(jnp.int32)
+            + 33
+        )
 
     # ---- frequent symbols (integer percentage, bfq_int.cpp:487-497) ----
-    c_perc = (100 * c_freq) // safe_basenum[:, None]
-    c_isfreq = (c_perc >= cfg.freq_threshold) & (c_freq > 0)
-    c_nfreq = jnp.sum(c_isfreq.astype(jnp.int32), axis=1, dtype=jnp.int32)
-    ord_idx = jnp.arange(5, dtype=jnp.int32)[None, :]
+    c_isfreq = [
+        ((100 * f) // safe_basenum >= cfg.freq_threshold) & (f > 0) for f in c_freq
+    ]
+    c_nfreq = sum(f.astype(jnp.int32) for f in c_isfreq)
     # first/second frequent symbol in ord order A,C,G,T,N
-    c_f0 = jnp.min(jnp.where(c_isfreq, ord_idx, 5), axis=1)
-    c_f1 = jnp.max(jnp.where(c_isfreq, ord_idx, -1), axis=1)
-    codes_arr = jnp.array(_ORD_CODES + (0,), jnp.int32)  # index 5 -> harmless 0
-    c_f0_code = codes_arr[c_f0]
-    c_f1_code = codes_arr[jnp.maximum(c_f1, 0)]
+    c_f0 = jnp.full((n_pad,), 5, jnp.int32)
+    c_f1 = jnp.full((n_pad,), -1, jnp.int32)
+    for o in range(4, -1, -1):
+        c_f0 = jnp.where(c_isfreq[o], o, c_f0)
+    for o in range(5):
+        c_f1 = jnp.where(c_isfreq[o], o, c_f1)
+    codes_arr = list(_ORD_CODES) + [0]  # index 5 -> harmless 0
+    c_f0_code = jnp.zeros((n_pad,), jnp.int32)
+    c_f1_code = jnp.zeros((n_pad,), jnp.int32)
+    for o in range(5):
+        c_f0_code = jnp.where(c_f0 == o, codes_arr[o], c_f0_code)
+        c_f1_code = jnp.where(jnp.maximum(c_f1, 0) == o, codes_arr[o], c_f1_code)
 
     c_has_bases = c_basenum > 0
 
@@ -187,27 +208,34 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     c_two = c_has_bases & (c_nfreq == 2) & (c_basenum >= m) & (c_f1 != _N_ORD)
 
     # ---- two-frequent-symbol rule: unique distinct predecessors ----
-    # select the predecessor-presence rows of the two frequent symbols
-    # (codes A=1,C=2,G=3,T=5 -> row 0..3; N/none only occur under masks)
-    code2sidx = jnp.array((0, 0, 1, 2, 0, 3, 0, 0), jnp.int32)
-    s0 = code2sidx[c_f0_code]
-    s1 = code2sidx[c_f1_code]
-    u0 = jnp.take_along_axis(c_uall, s0[:, None, None], axis=1)[:, 0, :]  # [ncap, 4]
-    u1 = jnp.take_along_axis(c_uall, s1[:, None, None], axis=1)[:, 0, :]
-    pred_codes = jnp.array((alphabet.A, alphabet.C, alphabet.G, alphabet.T, 0), jnp.int32)
-    c_u0sum = jnp.sum(u0, axis=1, dtype=jnp.int32)
-    c_u1sum = jnp.sum(u1, axis=1, dtype=jnp.int32)
-    didx = jnp.arange(4, dtype=jnp.int32)[None, :]
-    c_p0 = pred_codes[jnp.min(jnp.where(u0 > 0, didx, 4), axis=1)]
-    c_p1 = pred_codes[jnp.min(jnp.where(u1 > 0, didx, 4), axis=1)]
+    # presence row of each frequent symbol (codes A=1,C=2,G=3,T=5 -> row 0..3)
+    def sel_row(fc):
+        rows = []
+        for d in range(4):
+            r = jnp.zeros((n_pad,), jnp.int32)
+            for si, s in enumerate(acgt):
+                r = jnp.where(fc == s, (c_u[si][d] > 0).astype(jnp.int32), r)
+            rows.append(r)
+        return rows
+
+    u0 = sel_row(c_f0_code)
+    u1 = sel_row(c_f1_code)
+    c_u0sum = u0[0] + u0[1] + u0[2] + u0[3]
+    c_u1sum = u1[0] + u1[1] + u1[2] + u1[3]
+    pred_codes = (alphabet.A, alphabet.C, alphabet.G, alphabet.T)
+    c_p0 = jnp.zeros((n_pad,), jnp.int32)
+    c_p1 = jnp.zeros((n_pad,), jnp.int32)
+    for d in range(3, -1, -1):
+        c_p0 = jnp.where(u0[d] > 0, pred_codes[d], c_p0)
+        c_p1 = jnp.where(u1[d] > 0, pred_codes[d], c_p1)
     c_p0 = jnp.where(c_u0sum == 1, c_p0, 0)
     c_p1 = jnp.where(c_u1sum == 1, c_p1, 0)
     c_two_ok = c_two & (c_u0sum == 1) & (c_u1sum == 1) & (c_p0 != c_p1)
 
-    # ---- pack per-cluster decisions into one word; one gather ----
-    high_bits = jnp.zeros((ncap,), jnp.int32)
+    # ---- pack per-cluster decisions into one word at the close position ----
+    high_bits = jnp.zeros((n_pad,), jnp.int32)
     for o in range(5):
-        high_bits = high_bits | (c_high[:, o] << (_B_HIGH + o))
+        high_bits = high_bits | ((c_high[o] > 0).astype(jnp.int32) << (_B_HIGH + o))
     word = (
         c_single.astype(jnp.int32) << _B_SINGLE
         | c_two_ok.astype(jnp.int32) << _B_TWO
@@ -219,7 +247,9 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
         | jnp.clip(c_newqs, 0, 255) << _B_NEWQS
         | high_bits
     )
-    w = word[cid]  # [n_pad]
+    # broadcast the close-position word back over the cluster members with a
+    # keep-left segmented scan on the reversed array — no cluster-id gather
+    w = next_marked(jnp.where(close_mark, word, 0), close_mark, init=0)
 
     apply_mask = in_cluster & nonterm_pos
     cl_single = ((w >> _B_SINGLE) & 1) == 1
@@ -230,7 +260,9 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     cl_p0 = ((w >> _B_P0) & 7).astype(jnp.uint8)
     cl_p1 = ((w >> _B_P1) & 7).astype(jnp.uint8)
     cl_newqs = ((w >> _B_NEWQS) & 0xFF).astype(jnp.uint8)
-    ord_of = jnp.array(_CODE2ORD, jnp.int32)[bwt.astype(jnp.int32)]
+    ord_of = jnp.zeros((n_pad,), jnp.int32)
+    for code in range(alphabet.SIGMA + 2):
+        ord_of = jnp.where(bwt == code, _CODE2ORD[code], ord_of)
     cl_high_own = (w >> (_B_HIGH + ord_of)) & 1
 
     # single-symbol case (modBasesSmoothQS, bfq_int.cpp:376-405)
@@ -253,26 +285,24 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     bwt_sub = jnp.where(t_rep1, cl_f1, bwt_sub)
     qs_out = jnp.where(s_qs_const | s_qs_min | t_qs_const | t_qs_min, cl_newqs, qs)
 
-    # ---- counters (bfq_int.cpp:53-65,1004-1020) ----
-    c_nnn = jnp.sum((c_freq > 0).astype(jnp.int32), axis=1, dtype=jnp.int32)
+    # ---- counters (bfq_int.cpp:53-65,1004-1020), summed at close marks ----
+    c_nnn = sum((f > 0).astype(jnp.int32) for f in c_freq)
     c_disc = c_has_bases & (
         (c_nfreq == 0)
         | ((c_nfreq == 1) & (c_f0 == _N_ORD))
         | ((c_nfreq == 2) & (c_basenum < m))
     )
-    real = jnp.arange(ncap, dtype=jnp.int32) < (jnp.max(cid_all) + 1)
-    real = real & (jnp.arange(ncap, dtype=jnp.int32) != dump)
 
     def ccount(mask):
-        return jnp.sum((mask & real).astype(jnp.int32))
+        return jnp.sum((mask & close_mark).astype(jnp.int32))
 
     stats = {
-        "num_clust": ccount(jnp.ones((ncap,), bool)),
+        "num_clust": ccount(jnp.ones((n_pad,), bool)),
         "num_clust_discarded": ccount(c_disc),
         "num_clust_amb_discarded": ccount(c_two & ~c_two_ok),
         "num_clust_mod": ccount(c_single2 | c_two_ok),
         "num_clust_alleq": ccount(c_has_bases & (c_nnn == 1)),
-        "bases_inside": jnp.sum(jnp.where(real, c_basenum, 0)).astype(jnp.int32),
+        "bases_inside": jnp.sum(jnp.where(close_mark, c_basenum, 0)).astype(jnp.int32),
         "modified": jnp.sum((s_replace | t_rep0 | t_rep1).astype(jnp.int32)),
         "qs_smoothed": jnp.sum((s_qs_const | s_qs_min | t_qs_const | t_qs_min).astype(jnp.int32)),
     }

@@ -53,10 +53,35 @@ def _meta_path(base):
     return base + ".meta.json"
 
 
-def _artifacts_exist(base: str) -> bool:
-    return all(
+def _fingerprint(batch: ReadBatch) -> str:
+    """Identity of the stage-1 input: the exact read content.
+
+    The reference's cache keys on file *names* only (BFQzip.py:93-104), which
+    silently reuses stale artifacts when the input changes; here the cache is
+    only valid when the content hash recorded in meta.json matches.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(batch.seqs).tobytes())
+    h.update(np.ascontiguousarray(batch.quals).tobytes())
+    h.update(np.ascontiguousarray(batch.lengths).tobytes())
+    return h.hexdigest()
+
+
+def _artifacts_exist(base: str, fingerprint: Optional[str] = None) -> bool:
+    if not all(
         os.path.exists(base + ext) for ext in (".bwt", ".bwt.qs", ".lcp", ".meta.json")
-    )
+    ):
+        return False
+    if fingerprint is None:
+        return True
+    try:
+        with open(_meta_path(base)) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return meta.get("fingerprint") == fingerprint
 
 
 def step1_build(batch: ReadBatch, base: str, log: StepLogger) -> None:
@@ -84,7 +109,13 @@ def step1_build(batch: ReadBatch, base: str, log: StepLogger) -> None:
         f.write(lcp.astype("<u2").tobytes())
     with open(_meta_path(base), "w") as f:
         json.dump(
-            {"n": n, "n_reads": batch.num_reads, "max_len": batch.max_len}, f
+            {
+                "n": n,
+                "n_reads": batch.num_reads,
+                "max_len": batch.max_len,
+                "fingerprint": _fingerprint(batch),
+            },
+            f,
         )
 
 
@@ -150,7 +181,15 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
 
                         blob = encode_headers(data.split(b"\n")[:-1])
                     else:
-                        blob = rans.encode_best(data)
+                        blob = rans.encode_blob_best(data)
+                        if path.endswith(".dna") or path.endswith(".fq.dna"):
+                            # EBWT-domain codec (models/dna_ebwt.py): the
+                            # stage-1 transform doubles as the compressor
+                            from bfqzip_tpu.models.dna_ebwt import encode_dna_stream
+
+                            eb = encode_dna_stream(data)
+                            if eb is not None and len(eb) < len(blob):
+                                blob = eb
                     out = path + ".rans"
                     with open(out, "wb") as f:
                         f.write(blob)
@@ -173,7 +212,7 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
 
 
 def decompress_stream(path: str, out_path: Optional[str] = None) -> str:
-    """Decode a .rans container back to the original stream bytes."""
+    """Decode any bfqzip container back to the original stream bytes."""
     from bfqzip_tpu.utils import native
 
     blob = open(path, "rb").read()
@@ -181,6 +220,12 @@ def decompress_stream(path: str, out_path: Optional[str] = None) -> str:
         from bfqzip_tpu.models.headers import decode_headers
 
         payload = b"\n".join(decode_headers(blob)) + b"\n"
+    elif blob[:4] == b"BQZE":
+        from bfqzip_tpu.models.dna_ebwt import decode_dna_stream
+
+        payload = decode_dna_stream(blob)
+    elif blob[:4] == b"BQZC":
+        payload = native.cm_decode(blob).tobytes()
     elif native.available():
         payload = native.rans_decode(blob).tobytes()
     else:
@@ -224,8 +269,8 @@ def run_pipeline(
         with log.step(f"reorder mode {reorder}"):
             batch = reorder_batch(batch, mode=reorder)
 
-    # ---- step 1 with artifact caching (BFQzip.py:93-104) ----
-    if cfg.rebuild or not _artifacts_exist(base):
+    # ---- step 1 with artifact caching (BFQzip.py:93-104), content-keyed ----
+    if cfg.rebuild or not _artifacts_exist(base, _fingerprint(batch)):
         if blocks and blocks > 1:
             _blockwise_step1_3(batch, base, cfg, blocks, log)
             smoothed, stats = _load_fq(base), {}

@@ -35,6 +35,9 @@ def _find_lib():
             lib.fastq_format.restype = ctypes.c_int64
             lib.rans_encode.restype = ctypes.c_int64
             lib.rans_decode.restype = ctypes.c_int64
+            for sym in ("cm_encode", "cm_decode"):
+                if hasattr(lib, sym):
+                    getattr(lib, sym).restype = ctypes.c_int64
             _LIB = lib
             break
     return _LIB
@@ -111,6 +114,40 @@ def rans_encode(data: bytes, spec_order: int, lanes: int) -> Optional[bytes]:
     if size < 0:
         raise RuntimeError(f"native rans_encode rc={size}")
     return out[:size].tobytes()
+
+
+def cm_available() -> bool:
+    lib = _find_lib()
+    return lib is not None and hasattr(lib, "cm_encode")
+
+
+def cm_encode(data: bytes) -> Optional[bytes]:
+    """Adaptive context-model coder (native/cm_codec.cpp, magic BQZC)."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "cm_encode"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cap = len(data) + len(data) // 2 + (1 << 16)
+    out = np.zeros(cap, np.uint8)
+    size = lib.cm_encode(_ptr(buf), len(data), _ptr(out), cap)
+    if size < 0:
+        raise RuntimeError(f"native cm_encode rc={size}")
+    return out[:size].tobytes()
+
+
+def cm_decode(blob: bytes) -> Optional[np.ndarray]:
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "cm_decode"):
+        return None
+    buf = np.frombuffer(blob, np.uint8)
+    n = lib.cm_decode(_ptr(buf), len(blob), None, 0)
+    if n < 0:
+        raise ValueError(f"native cm_decode rc={n}")
+    out = np.zeros(int(n), np.uint8)
+    rc = lib.cm_decode(_ptr(buf), len(blob), _ptr(out), int(n))
+    if rc < 0:
+        raise ValueError(f"native cm_decode rc={rc}")
+    return out
 
 
 def rans_decode(blob: bytes) -> Optional[np.ndarray]:

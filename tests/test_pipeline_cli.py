@@ -52,6 +52,21 @@ def test_pipeline_artifact_cache(workdir):
     assert os.path.getmtime(base + ".bwt") >= bwt_mtime
 
 
+def test_pipeline_cache_invalidated_on_input_change(workdir):
+    """A changed input FASTQ must NOT reuse stale stage-1 artifacts (the
+    reference shares this flaw, BFQzip.py:93-104; meta.json carries a content
+    fingerprint here)."""
+    base = str(workdir / "out")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base)
+    bwt_mtime = os.path.getmtime(base + ".bwt")
+    fq1 = open(base + ".fq", "rb").read()
+    # swap in a different input under the same basename
+    shutil.copyfile(golden_path("synth_var.in.fastq"), workdir / "reads.fastq")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base)
+    assert os.path.getmtime(base + ".bwt") != bwt_mtime, "stale artifacts reused"
+    assert open(base + ".fq", "rb").read() != fq1
+
+
 def test_pipeline_artifacts_feed_reference_format(workdir):
     """The .bwt artifact uses the reference's ASCII alphabet."""
     base = str(workdir / "out")
