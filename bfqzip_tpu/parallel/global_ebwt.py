@@ -64,22 +64,32 @@ def _spans10(wp: int):
 def build_ebwt_sharded(seqs, quals, lengths, mesh: Mesh, axis: str = "seq",
                        capacity_factor: float = 2.5) -> ShardedEbwt:
     """Host wrapper: returns the global EBWT of the collection, built with the
-    reads sharded over `axis`.  Requires x64 (i64 sort keys) and n_reads
-    divisible by the axis size."""
+    reads sharded over `axis`.  Requires x64 (i64 sort keys).  Read counts not
+    divisible by the axis size are padded with zero-length rows (pure padding:
+    no terminator, sorts last, trimmed from the output).  Sample-sort bucket
+    overflow triggers a retry with doubled capacity instead of failing."""
     if not jax.config.jax_enable_x64:
         raise RuntimeError("build_ebwt_sharded requires jax_enable_x64 (64-bit sort keys)")
     d = mesh.shape[axis]
     n_reads, width = seqs.shape
     if n_reads % d:
-        raise ValueError(f"n_reads {n_reads} not divisible by mesh axis size {d}")
+        pad = d - n_reads % d
+        seqs = np.concatenate([seqs, np.zeros((pad, width), seqs.dtype)])
+        quals = np.concatenate([quals, np.zeros((pad, width), quals.dtype)])
+        lengths = np.concatenate([lengths, np.zeros((pad,), lengths.dtype)])
+        n_reads += pad
     wp = width + 1
     n_pad = n_reads * wp
     m = n_pad // d  # positions per shard
-    cap_sorted = int(capacity_factor * m) + 64  # sorted-order shard buffers
 
-    fn = _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted)
-    out = fn(jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths))
-    bwt_b, qs_b, lcp_b, sa_b, counts, overflow, n = map(np.asarray, out)
+    for attempt in range(3):
+        cap_sorted = int(capacity_factor * m) + 64  # sorted-order shard buffers
+        fn = _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted)
+        out = fn(jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths))
+        bwt_b, qs_b, lcp_b, sa_b, counts, overflow, n = map(np.asarray, out)
+        if int(overflow.sum()) == 0:
+            break
+        capacity_factor *= 2  # retry with more headroom (last result kept)
 
     parts = {0: [], 1: [], 2: [], 3: []}
     for i in range(d):
@@ -242,7 +252,8 @@ def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
         lensl = lens_l.astype(jnp.int32)
         k = jnp.arange(wp, dtype=jnp.int32)[None, :]
         rid = rid0 + jnp.arange(nl, dtype=jnp.int32)[:, None]
-        is_pad2 = k > lensl[:, None]
+        # zero-length rows are divisibility padding: every position is pad
+        is_pad2 = (k > lensl[:, None]) | (lensl[:, None] <= 0)
         term_near = (lensl[:, None] - k >= 0) & (lensl[:, None] - k < PACK)
         tb2 = jnp.where(term_near, rid + 1, 0).astype(jnp.int64)
         g_local = base + jnp.arange(m, dtype=jnp.int64)
@@ -313,7 +324,8 @@ def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
         lcp_s = (h + rem).astype(jnp.int32)
         lcp_s = jnp.where((shard_id() == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
 
-        n = jax.lax.psum(jnp.sum(lensl, dtype=jnp.int64), axis) + n_reads
+        n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)
+        n = jax.lax.psum(jnp.sum(lensl, dtype=jnp.int64), axis) + n_valid_reads
         overflow = jax.lax.psum(overflow, axis)
         return (
             bwt_s[None],

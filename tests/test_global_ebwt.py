@@ -41,9 +41,16 @@ def test_sharded_on_example():
     assert np.array_equal(out.lcp, ref.lcp)
 
 
-def test_requires_divisible_reads():
+def test_non_divisible_reads_padded():
+    """Read counts not divisible by the mesh axis are padded with zero-length
+    rows that sort last and are trimmed — output identical to the oracle."""
     mesh = make_mesh((1, 4))
     rng = np.random.default_rng(1)
     batch = tiny_batch(rng, n_reads=30, min_len=10, max_len=12)
-    with pytest.raises(ValueError):
-        build_ebwt_sharded(batch.seqs, batch.quals, batch.lengths, mesh)
+    ref = ref_golden.build_ebwt(batch)
+    out = build_ebwt_sharded(batch.seqs, batch.quals, batch.lengths, mesh)
+    assert out.overflow == 0
+    assert out.n == ref.bwt.size
+    assert np.array_equal(out.bwt, ref.bwt)
+    assert np.array_equal(out.qs, ref.qs)
+    assert np.array_equal(out.lcp, ref.lcp)
