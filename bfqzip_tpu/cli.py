@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("-p", "--paired", action="store_true", help="paired-end mode (two inputs)")
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="split into this many independent blocks (reference parallel mode)")
+    p.add_argument("--mesh", type=int, default=0, metavar="D",
+                   help="sequence-shard ONE global EBWT over D devices "
+                        "(no per-block ratio cost; needs D devices visible)")
     p.add_argument("-c", "--check", action="store_true", help="validate the input FASTQ")
     p.add_argument("-v", type=int, default=0, dest="verbose", help="verbosity")
     p.add_argument("--codecs", default="rans",
@@ -121,6 +124,7 @@ def main(argv=None) -> int:
         check=args.check,
         reorder=args.reorder,
         blocks=args.threads,
+        mesh_shards=args.mesh,
         debug_dump=args.debug_dump,
     )
     if args.verbose:

@@ -122,6 +122,54 @@ def next_marked(x: jax.Array, mark: jax.Array, init=0) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+class LocalScanOps:
+    """Single-device scan/shift toolbox used by ops.smooth.
+
+    The same interface is implemented over a mesh axis by
+    parallel.dist_scan.DistScanOps (local op + one collective carry step), so
+    the smoothing maths in ops/smooth.py is written once and runs either
+    single-chip or sequence-sharded.
+    """
+
+    def iota(self, n: int) -> jax.Array:
+        """Global position of each local slot."""
+        return jnp.arange(n, dtype=jnp.int32)
+
+    def shift_prev(self, x: jax.Array, fill) -> jax.Array:
+        """out[i] = x[i-1] (global); out[0] = fill."""
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    def shift_next(self, x: jax.Array, fill) -> jax.Array:
+        """out[i] = x[i+1] (global); out[-1] = fill."""
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def shift_next_k(self, x: jax.Array, k: int, fill) -> jax.Array:
+        """out[i] = x[i+k] (global); the last k slots get fill."""
+        return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+    def cummax(self, x: jax.Array) -> jax.Array:
+        return jax.lax.cummax(x)
+
+    def seg_scan(self, x: jax.Array, flag: jax.Array, combine, init) -> jax.Array:
+        return _seg_scan(x, flag, combine, init)
+
+    def seg_cumsum(self, x: jax.Array, reset: jax.Array) -> jax.Array:
+        return self.seg_scan(x, reset, jnp.add, 0)
+
+    def seg_cumor(self, x: jax.Array, reset: jax.Array) -> jax.Array:
+        return self.seg_scan(x, reset, jnp.bitwise_or, 0)
+
+    def next_marked(self, x: jax.Array, mark: jax.Array, init=0) -> jax.Array:
+        return next_marked(x, mark, init)
+
+    def sum(self, x: jax.Array) -> jax.Array:
+        """Global sum reduction (psum over the mesh axis when sharded)."""
+        return jnp.sum(x)
+
+
+LOCAL_OPS = LocalScanOps()
+
+
 def seg_cumsum_nn(x: jax.Array, reset: jax.Array) -> jax.Array:
     """Inclusive segmented cumsum for x >= 0 (and cumsum(x) within dtype)."""
     s = jnp.cumsum(x, dtype=x.dtype)

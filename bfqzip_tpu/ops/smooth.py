@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from bfqzip_tpu import alphabet
 from bfqzip_tpu.config import SmoothConfig
 from bfqzip_tpu.ops.rank import lf_array
-from bfqzip_tpu.ops.scan import _seg_scan, next_marked, seg_cumor, seg_cumsum
+from bfqzip_tpu.ops.scan import LOCAL_OPS
 from bfqzip_tpu.ops.suffix import EbwtDevice
 
 # reference ord order (bfq_int.cpp:106-110): index o -> alphabet code
@@ -67,38 +67,39 @@ class SmoothOut(NamedTuple):
     stats: dict  # reference counters, scalar i32
 
 
-def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
+def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None, ops=None) -> SmoothOut:
+    ops = ops or LOCAL_OPS
     bwt, qs, lcp, n = ebwt.bwt, ebwt.qs, ebwt.lcp, ebwt.n
     n_pad = bwt.shape[0]
-    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    pos = ops.iota(n_pad)
     valid = pos < n
     m = cfg.min_cluster
 
     # ---- bitvectors (bfq_int.cpp:183-300 via the LCP array) ----
     thr = (lcp >= cfg.k) & valid
-    lcp_prev = jnp.concatenate([jnp.zeros((1,), lcp.dtype), lcp[:-1]])
-    lcp_next = jnp.concatenate([lcp[1:], jnp.zeros((1,), lcp.dtype)])
+    lcp_prev = ops.shift_prev(lcp, 0)
+    lcp_next = ops.shift_next(lcp, 0)
     minima = (lcp < lcp_prev) & (lcp_next >= lcp) & (pos >= 1) & (pos <= n - 2)
     pred = thr & ~minima
 
     # ---- eligible runs -> clusters [run_start-1, run_end] ----
-    pred_prev = jnp.concatenate([jnp.zeros((1,), bool), pred[:-1]])
-    pred_next = jnp.concatenate([pred[1:], jnp.zeros((1,), bool)])
+    pred_prev = ops.shift_prev(pred, False)
+    pred_next = ops.shift_next(pred, False)
     rs_mark = pred & ~pred_prev
     # run has length >= m-1 iff pred holds at its first m-1 positions
     ext = pred
     for t in range(1, max(m - 1, 1)):
-        ext = ext & jnp.concatenate([pred[t:], jnp.zeros((t,), bool)])
+        ext = ext & ops.shift_next_k(pred, t, False)
     elig_start = rs_mark & ext
     # propagate eligibility across each run (cummax of start positions)
-    run_start = jax.lax.cummax(jnp.where(elig_start, pos, -1))
+    run_start = ops.cummax(jnp.where(elig_start, pos, -1))
     in_run_elig = pred & (run_start >= 0) & (run_start <= pos)
     # ... but run_start could point at an older eligible run across a gap;
     # cut at the most recent run boundary:
-    last_gap = jax.lax.cummax(jnp.where(~pred, pos, -1))
+    last_gap = ops.cummax(jnp.where(~pred, pos, -1))
     in_run_elig = in_run_elig & (run_start > last_gap)
 
-    open_mark = ~pred & jnp.concatenate([in_run_elig[1:], jnp.zeros((1,), bool)])
+    open_mark = ~pred & ops.shift_next(in_run_elig, False)
     in_cluster = in_run_elig | open_mark
     close_mark = in_run_elig & ~pred_next
 
@@ -107,6 +108,8 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
 
     if pre is None:
         # symbol preceding each BWT position: bwt[LF[j]] (bfq_int.cpp:547)
+        # (single-device only: rank is a global cumsum; sharded callers pass
+        # pre = text[(sa-2) % n_pad] carried from the sort)
         lf = lf_array(bwt, valid)
         pre = bwt[lf]
 
@@ -119,7 +122,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     X = jnp.stack(
         [mask_i & (bwt == code) for code in _ORD_CODES], axis=0
     ).astype(jnp.int32)  # [5, n]
-    S = seg_cumsum(X, open_mark)
+    S = ops.seg_cumsum(X, open_mark)
     c_freq = [S[o] for o in range(5)]
 
     pmask = jnp.zeros((n_pad,), jnp.int32)
@@ -128,7 +131,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     for si, s in enumerate(acgt):
         for d_i, d in enumerate(acgt):
             pmask = pmask | (((bwt == s) & (pre == d)).astype(jnp.int32) << (5 + 4 * si + d_i))
-    ors = seg_cumor(jnp.where(mask_i, pmask, 0), open_mark)
+    ors = ops.seg_cumor(jnp.where(mask_i, pmask, 0), open_mark)
     c_high = [(ors >> o) & 1 for o in range(5)]
     c_u = [[(ors >> (5 + 4 * si + d)) & 1 for d in range(4)] for si in range(4)]
 
@@ -143,7 +146,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     if cfg.mode == 2:
         c_newqs = jnp.full((n_pad,), cfg.default_qs, jnp.int32)
     elif cfg.mode == 0:
-        c_newqs = _seg_scan(
+        c_newqs = ops.seg_scan(
             jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
             open_mark,
             jnp.maximum,
@@ -151,7 +154,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
         )
     elif cfg.mode == 3:
         # segment-local i32 sums (no global cumsum: avoids overflow at scale)
-        qsum = _seg_scan(
+        qsum = ops.seg_scan(
             jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
             open_mark,
             jnp.add,
@@ -166,7 +169,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
             jnp.power(ftype(10.0), -(qs.astype(ftype) - 33.0) / 10.0),
             ftype(0.0),
         )
-        c_esum = _seg_scan(err, open_mark, jnp.add, ftype(0.0))
+        c_esum = ops.seg_scan(err, open_mark, jnp.add, ftype(0.0))
         avg = c_esum / safe_basenum.astype(ftype)
         # C round(): half away from zero (the argument is always positive here)
         c_newqs = (
@@ -249,7 +252,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     )
     # broadcast the close-position word back over the cluster members with a
     # keep-left segmented scan on the reversed array — no cluster-id gather
-    w = next_marked(jnp.where(close_mark, word, 0), close_mark, init=0)
+    w = ops.next_marked(jnp.where(close_mark, word, 0), close_mark, init=0)
 
     apply_mask = in_cluster & nonterm_pos
     cl_single = ((w >> _B_SINGLE) & 1) == 1
@@ -294,7 +297,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
     )
 
     def ccount(mask):
-        return jnp.sum((mask & close_mark).astype(jnp.int32))
+        return ops.sum((mask & close_mark).astype(jnp.int32))
 
     stats = {
         "num_clust": ccount(jnp.ones((n_pad,), bool)),
@@ -302,8 +305,8 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None) -> SmoothOut:
         "num_clust_amb_discarded": ccount(c_two & ~c_two_ok),
         "num_clust_mod": ccount(c_single2 | c_two_ok),
         "num_clust_alleq": ccount(c_has_bases & (c_nnn == 1)),
-        "bases_inside": jnp.sum(jnp.where(close_mark, c_basenum, 0)).astype(jnp.int32),
-        "modified": jnp.sum((s_replace | t_rep0 | t_rep1).astype(jnp.int32)),
-        "qs_smoothed": jnp.sum((s_qs_const | s_qs_min | t_qs_const | t_qs_min).astype(jnp.int32)),
+        "bases_inside": ops.sum(jnp.where(close_mark, c_basenum, 0)).astype(jnp.int32),
+        "modified": ops.sum((s_replace | t_rep0 | t_rep1).astype(jnp.int32)),
+        "qs_smoothed": ops.sum((s_qs_const | s_qs_min | t_qs_const | t_qs_min).astype(jnp.int32)),
     }
     return SmoothOut(bwt_sub=bwt_sub, qs=qs_out, stats=stats)

@@ -26,12 +26,18 @@ device shards.  x64 must be enabled (64-bit sort keys).
 
 Sorted-order outputs (bwt, qs, lcp) come back as fixed-capacity per-shard
 buffers plus counts (sample sort balances only approximately); the host-side
-wrapper compacts them.  Bucket overflows are reported, never silent.
+wrapper compacts them.  Bucket overflows are reported, never silent — the
+wrapper retries with doubled capacity.
+
+The collective toolbox (_make_ctx: bucket exchange, routed gather/scatter,
+exact rebalance) and the sort body (_sort_body) are shared with the full
+sequence-sharded pipeline in parallel/global_pipeline.py.
 """
 
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 from typing import NamedTuple
 
 import jax
@@ -61,23 +67,29 @@ def _spans10(wp: int):
     return spans
 
 
+def pad_reads_to_multiple(seqs, quals, lengths, d):
+    """Pad the read count to a multiple of d with zero-length rows (pure
+    padding: no terminator, sorts last, trimmed from every output)."""
+    n_reads = seqs.shape[0]
+    if n_reads % d:
+        pad = d - n_reads % d
+        seqs = np.concatenate([seqs, np.zeros((pad, seqs.shape[1]), seqs.dtype)])
+        quals = np.concatenate([quals, np.zeros((pad, seqs.shape[1]), quals.dtype)])
+        lengths = np.concatenate([lengths, np.zeros((pad,), lengths.dtype)])
+    return seqs, quals, lengths
+
+
 def build_ebwt_sharded(seqs, quals, lengths, mesh: Mesh, axis: str = "seq",
                        capacity_factor: float = 2.5) -> ShardedEbwt:
     """Host wrapper: returns the global EBWT of the collection, built with the
     reads sharded over `axis`.  Requires x64 (i64 sort keys).  Read counts not
-    divisible by the axis size are padded with zero-length rows (pure padding:
-    no terminator, sorts last, trimmed from the output).  Sample-sort bucket
-    overflow triggers a retry with doubled capacity instead of failing."""
+    divisible by the axis size are padded with zero-length rows.  Sample-sort
+    bucket overflow triggers a retry with doubled capacity instead of failing."""
     if not jax.config.jax_enable_x64:
         raise RuntimeError("build_ebwt_sharded requires jax_enable_x64 (64-bit sort keys)")
     d = mesh.shape[axis]
+    seqs, quals, lengths = pad_reads_to_multiple(seqs, quals, lengths, d)
     n_reads, width = seqs.shape
-    if n_reads % d:
-        pad = d - n_reads % d
-        seqs = np.concatenate([seqs, np.zeros((pad, width), seqs.dtype)])
-        quals = np.concatenate([quals, np.zeros((pad, width), quals.dtype)])
-        lengths = np.concatenate([lengths, np.zeros((pad,), lengths.dtype)])
-        n_reads += pad
     wp = width + 1
     n_pad = n_reads * wp
     m = n_pad // d  # positions per shard
@@ -105,13 +117,16 @@ def build_ebwt_sharded(seqs, quals, lengths, mesh: Mesh, axis: str = "seq",
                        n=n, overflow=int(overflow.sum()))
 
 
-def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
-    wp = width + 1
-    n_pad = n_reads * wp
-    nl = n_reads // d  # reads per shard
+def _make_ctx(axis: str, d: int, m: int, n_pad: int, cap_sorted: int,
+              rebalance_cap: int | None = None):
+    """Collective toolbox bound to one mesh axis: everything the distributed
+    sort, gather, scatter and rebalance need, as closures over static sizes."""
     cap_x = int(2.5 * (cap_sorted // d)) + 64  # per-pair exchange capacity
-    spans = _spans10(wp)
+    # rebalance drift per (src, tgt) pair is bounded by the sample-sort
+    # imbalance (few % of m in practice); overflow is reported, never silent
+    cap_off = rebalance_cap if rebalance_cap is not None else m // 4 + 1024
     next_perm = [(i, (i - 1) % d) for i in range(d)]  # receive from next shard
+    prev_perm = [(i, (i + 1) % d) for i in range(d)]
 
     def a2a(x):
         return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0, tiled=True)
@@ -183,7 +198,7 @@ def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
         position-sharded layout.  Returns (rank_l [m], overflow)."""
         valid = jnp.arange(cap_sorted) < count
         prev_last = jax.lax.ppermute(ks[jnp.maximum(count - 1, 0)][None], axis,
-                                     [(i, (i + 1) % d) for i in range(d)])[0]
+                                     prev_perm)[0]
         prev_key = jnp.concatenate([prev_last[None], ks[:-1]])
         changed = (ks != prev_key) & valid
         changed = changed.at[0].set((shard_id() == 0) | changed[0])
@@ -233,6 +248,173 @@ def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
         out = out.at[flat_slot].set(resp_v.reshape(-1), mode="drop")
         return jnp.where(ok, out, sentinel), ovf
 
+    def global_scatter(vals, gidx, init):
+        """Route vals[j] to global position gidx[j]; returns this shard's [m]
+        received values (init where nothing lands).  Global positions must be
+        unique across shards for a deterministic result."""
+        tgt = jnp.clip((gidx // m).astype(jnp.int32), 0, d - 1)
+        order = jnp.argsort(tgt, stable=True).astype(jnp.int32)
+        (rg, rv), vmask, ovf = bucket_exchange(
+            tgt[order], [(gidx[order].astype(jnp.int64), jnp.int64(-1)),
+                         (vals[order], init)], tgt[order], cap_x
+        )
+        base = shard_id().astype(jnp.int64) * m
+        slot = jnp.where(vmask & (rg >= 0), rg - base, m)
+        out = jnp.full((m,), init, vals.dtype).at[slot].set(rv, mode="drop")
+        return out, ovf
+
+    def rebalance(count, payloads):
+        """Exact redistribution of the sorted-order shard buffers (valid
+        prefix `count` of cap_sorted slots, globally contiguous) to the even
+        layout where shard s holds global sorted ranks [s*m, (s+1)*m).
+
+        The diagonal (elements already on their target shard) is placed
+        locally; only the drift (|count - m| scale) rides a bucket exchange.
+        Returns ([m] array per payload, overflow)."""
+        me = shard_id()
+        off, _ = shard_offset(count)
+        slot_valid = jnp.arange(cap_sorted) < count
+        grank = off.astype(jnp.int64) + jnp.arange(cap_sorted, dtype=jnp.int64)
+        tgt = jnp.where(slot_valid, (grank // m).astype(jnp.int32), d)
+        onme = slot_valid & (tgt == me)
+        lslot = jnp.where(onme, grank - me.astype(jnp.int64) * m, m)
+        outs = []
+        ovf_total = jnp.zeros((), jnp.int32)
+        # off-diagonal elements, grouped by target (grank is monotone, so the
+        # masked-out diagonal keeps the residue grouped after argsort)
+        tgt_off = jnp.where(slot_valid & ~onme, tgt, d)
+        order = jnp.argsort(tgt_off, stable=True).astype(jnp.int32)
+        (rg,), vmask, ovf = bucket_exchange(
+            tgt_off[order], [(grank[order], jnp.int64(-1))], tgt_off[order], cap_off
+        )
+        ovf_total += ovf.astype(jnp.int32)
+        rslot = jnp.where(vmask & (rg >= 0), rg - me.astype(jnp.int64) * m, m)
+        for p, init in payloads:
+            out = jnp.full((m,), init, p.dtype).at[lslot].set(p, mode="drop")
+            (rv,), vm2, _ = bucket_exchange(
+                tgt_off[order], [(p[order], init)], tgt_off[order], cap_off
+            )
+            out = out.at[jnp.where(vm2, rslot, m)].set(rv, mode="drop")
+            outs.append(out)
+        return outs, ovf_total
+
+    return SimpleNamespace(
+        axis_name=axis, d=d, m=m, n_pad=n_pad, cap_sorted=cap_sorted, cap_x=cap_x,
+        a2a=a2a, shard_id=shard_id, halo_next=halo_next,
+        shard_offset=shard_offset, bucket_exchange=bucket_exchange,
+        dsort=dsort, dense_rank_to_positions=dense_rank_to_positions,
+        global_gather=global_gather, global_scatter=global_scatter,
+        rebalance=rebalance,
+    )
+
+
+def _sort_body(ctx, n_reads, width, seqs_l, quals_l, lens_l):
+    """Distributed EBWT sort body (runs inside shard_map): returns per-shard
+    sorted-order buffers (bwt, qs, lcp, sa) + count, plus the local text/qs
+    arrays in position layout, the total length n, and the overflow count."""
+    m, d, n_pad, cap_sorted = ctx.m, ctx.d, ctx.n_pad, ctx.cap_sorted
+    wp = width + 1
+    nl = m // wp  # reads per shard
+    spans = _spans10(wp)
+    me = ctx.shard_id()
+    rid0 = me.astype(jnp.int32) * nl
+    base = me.astype(jnp.int64) * m
+    overflow = jnp.zeros((), jnp.int32)
+
+    wcodes = _window_codes(seqs_l, lens_l)  # [nl, wp+_EXT]
+    w0 = _pack_word(wcodes, wp, 0).reshape(-1)  # span-10 word, local
+    lensl = lens_l.astype(jnp.int32)
+    k = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    rid = rid0 + jnp.arange(nl, dtype=jnp.int32)[:, None]
+    # zero-length rows are divisibility padding: every position is pad
+    is_pad2 = (k > lensl[:, None]) | (lensl[:, None] <= 0)
+    term_near = (lensl[:, None] - k >= 0) & (lensl[:, None] - k < PACK)
+    tb2 = jnp.where(term_near, rid + 1, 0).astype(jnp.int64)
+    g_local = base + jnp.arange(m, dtype=jnp.int64)
+    tb = jnp.where(is_pad2, n_reads + 1 + g_local.reshape(nl, wp), tb2).reshape(-1)
+    w0m = jnp.where(is_pad2.reshape(-1), jnp.int64(2**30), w0.astype(jnp.int64))
+    key = (w0m << 32) | tb  # span-10 + read-index tie-break
+
+    pos = g_local.astype(jnp.int32)
+    ks, ps, count, ovf = ctx.dsort(key, pos)
+    overflow += ovf
+    rank_l, ovf = ctx.dense_rank_to_positions(ks, ps, count)
+    overflow += ovf
+
+    ranks = [rank_l]
+    for i, h in enumerate(spans[:-1]):
+        ra = ctx.halo_next(rank_l, h)
+        key = (rank_l << 31) | (ra + 2)
+        ks, ps, count, ovf = ctx.dsort(key, pos)
+        overflow += ovf
+        if i + 1 < len(spans) - 1:
+            rank_l, ovf = ctx.dense_rank_to_positions(ks, ps, count)
+            overflow += ovf
+            ranks.append(rank_l)
+
+    # ---- BWT / QS in sorted order (per-shard buffers + count) ----
+    text_l = jnp.where(
+        (k < lensl[:, None]),
+        jnp.pad(seqs_l, ((0, 0), (0, 1))).astype(jnp.uint8) + 1,
+        jnp.uint8(0),
+    ).reshape(-1)
+    qtext_l = jnp.pad(quals_l, ((0, 0), (0, 1))).reshape(-1)
+    sa = ps  # sorted-order suffix positions (valid under count)
+    slot_valid = jnp.arange(cap_sorted) < count
+    # invalid slots must not generate gather traffic (ps == -1 would wrap
+    # to n_pad-2 and flood the last shard's buckets)
+    prev = jnp.where(slot_valid, (sa.astype(jnp.int64) - 1) % n_pad, jnp.int64(-1))
+    cprev, ovf = ctx.global_gather(text_l, prev, jnp.uint8(0))
+    overflow += ovf
+    qprev, ovf = ctx.global_gather(qtext_l, prev, jnp.uint8(0))
+    overflow += ovf
+    is_term = cprev == 0
+    bwt_s = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
+    qs_s = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), qprev)
+
+    # ---- LCP in sorted order ----
+    prev_sa = jax.lax.ppermute(
+        sa[jnp.maximum(count - 1, 0)][None],
+        ctx.axis_name,
+        [(i, (i + 1) % d) for i in range(d)],
+    )[0]
+    far = jnp.int64(-(2**40))  # keeps a+h negative for any offset h
+    a = jnp.where(slot_valid, jnp.concatenate([prev_sa[None], sa[:-1]]).astype(jnp.int64), far)
+    b = jnp.where(slot_valid, sa.astype(jnp.int64), far)
+    h = jnp.zeros((cap_sorted,), jnp.int64)
+    for span, r in zip(reversed(spans[:-1]), reversed(ranks)):
+        va, ovf = ctx.global_gather(r, a + h, jnp.int64(-1)); overflow += ovf
+        vb, ovf = ctx.global_gather(r, b + h, jnp.int64(-2)); overflow += ovf
+        same = (va == vb) & (va >= 0)
+        h = jnp.where(same, h + span, h)
+    # remainder < PACK from the packed words
+    pa, ovf = ctx.global_gather(w0.astype(jnp.int64), a + h, jnp.int64(-1)); overflow += ovf
+    pb, ovf = ctx.global_gather(w0.astype(jnp.int64), b + h, jnp.int64(-2)); overflow += ovf
+    rem = jnp.zeros((cap_sorted,), jnp.int64)
+    nz = jnp.ones((cap_sorted,), bool)
+    eq = jnp.ones((cap_sorted,), bool)
+    for j in range(1, PACK + 1):
+        sh = 3 * (PACK - j)
+        eq = eq & ((pa >> sh) == (pb >> sh))
+        nz = nz & (((pa >> sh) & 7) != 0)
+        rem = rem + (eq & nz).astype(jnp.int64)
+    lcp_s = (h + rem).astype(jnp.int32)
+    lcp_s = jnp.where((me == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
+
+    axis = ctx.axis_name
+    n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)
+    n = jax.lax.psum(jnp.sum(lensl, dtype=jnp.int64), axis) + n_valid_reads
+    overflow = jax.lax.psum(overflow, axis)
+    return SimpleNamespace(
+        bwt=bwt_s, qs=qs_s, lcp=lcp_s, sa=sa, count=count,
+        text=text_l, qtext=qtext_l, n=n, overflow=overflow,
+    )
+
+
+def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
+    wp = width + 1
+    n_pad = n_reads * wp
+    ctx = _make_ctx(axis, d, m, n_pad, cap_sorted)
     spec = P(axis)
 
     @functools.partial(
@@ -242,99 +424,15 @@ def _make_kernel(mesh, axis, d, n_reads, width, m, cap_sorted):
         out_specs=(spec, spec, spec, spec, spec, spec, P()),
     )
     def kernel(seqs_l, quals_l, lens_l):
-        me = shard_id()
-        rid0 = me.astype(jnp.int32) * nl
-        base = me.astype(jnp.int64) * m
-        overflow = jnp.zeros((), jnp.int32)
-
-        wcodes = _window_codes(seqs_l, lens_l)  # [nl, wp+_EXT]
-        w0 = _pack_word(wcodes, wp, 0).reshape(-1)  # span-10 word, local
-        lensl = lens_l.astype(jnp.int32)
-        k = jnp.arange(wp, dtype=jnp.int32)[None, :]
-        rid = rid0 + jnp.arange(nl, dtype=jnp.int32)[:, None]
-        # zero-length rows are divisibility padding: every position is pad
-        is_pad2 = (k > lensl[:, None]) | (lensl[:, None] <= 0)
-        term_near = (lensl[:, None] - k >= 0) & (lensl[:, None] - k < PACK)
-        tb2 = jnp.where(term_near, rid + 1, 0).astype(jnp.int64)
-        g_local = base + jnp.arange(m, dtype=jnp.int64)
-        tb = jnp.where(is_pad2, n_reads + 1 + g_local.reshape(nl, wp), tb2).reshape(-1)
-        w0m = jnp.where(is_pad2.reshape(-1), jnp.int64(2**30), w0.astype(jnp.int64))
-        key = (w0m << 32) | tb  # span-10 + read-index tie-break
-
-        pos = g_local.astype(jnp.int32)
-        ks, ps, count, ovf = dsort(key, pos)
-        overflow += ovf
-        rank_l, ovf = dense_rank_to_positions(ks, ps, count)
-        overflow += ovf
-
-        ranks = [rank_l]
-        for i, h in enumerate(spans[:-1]):
-            ra = halo_next(rank_l, h)
-            key = (rank_l << 31) | (ra + 2)
-            ks, ps, count, ovf = dsort(key, pos)
-            overflow += ovf
-            if i + 1 < len(spans) - 1:
-                rank_l, ovf = dense_rank_to_positions(ks, ps, count)
-                overflow += ovf
-                ranks.append(rank_l)
-
-        # ---- BWT / QS in sorted order (per-shard buffers + count) ----
-        text_l = jnp.where(
-            (k < lensl[:, None]),
-            jnp.pad(seqs_l, ((0, 0), (0, 1))).astype(jnp.uint8) + 1,
-            jnp.uint8(0),
-        ).reshape(-1)
-        qtext_l = jnp.pad(quals_l, ((0, 0), (0, 1))).reshape(-1)
-        sa = ps  # sorted-order suffix positions (valid under count)
-        slot_valid = jnp.arange(cap_sorted) < count
-        # invalid slots must not generate gather traffic (ps == -1 would wrap
-        # to n_pad-2 and flood the last shard's buckets)
-        prev = jnp.where(slot_valid, (sa.astype(jnp.int64) - 1) % n_pad, jnp.int64(-1))
-        cprev, ovf = global_gather(text_l, prev, jnp.uint8(0))
-        overflow += ovf
-        qprev, ovf = global_gather(qtext_l, prev, jnp.uint8(0))
-        overflow += ovf
-        is_term = cprev == 0
-        bwt_s = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
-        qs_s = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), qprev)
-
-        # ---- LCP in sorted order ----
-        prev_sa = jax.lax.ppermute(sa[jnp.maximum(count - 1, 0)][None], axis,
-                                   [(i, (i + 1) % d) for i in range(d)])[0]
-        far = jnp.int64(-(2**40))  # keeps a+h negative for any offset h
-        a = jnp.where(slot_valid, jnp.concatenate([prev_sa[None], sa[:-1]]).astype(jnp.int64), far)
-        b = jnp.where(slot_valid, sa.astype(jnp.int64), far)
-        h = jnp.zeros((cap_sorted,), jnp.int64)
-        for span, r in zip(reversed(spans[:-1]), reversed(ranks)):
-            va, ovf = global_gather(r, a + h, jnp.int64(-1)); overflow += ovf
-            vb, ovf = global_gather(r, b + h, jnp.int64(-2)); overflow += ovf
-            same = (va == vb) & (va >= 0)
-            h = jnp.where(same, h + span, h)
-        # remainder < PACK from the packed words
-        pa, ovf = global_gather(w0.astype(jnp.int64), a + h, jnp.int64(-1)); overflow += ovf
-        pb, ovf = global_gather(w0.astype(jnp.int64), b + h, jnp.int64(-2)); overflow += ovf
-        rem = jnp.zeros((cap_sorted,), jnp.int64)
-        nz = jnp.ones((cap_sorted,), bool)
-        eq = jnp.ones((cap_sorted,), bool)
-        for j in range(1, PACK + 1):
-            sh = 3 * (PACK - j)
-            eq = eq & ((pa >> sh) == (pb >> sh))
-            nz = nz & (((pa >> sh) & 7) != 0)
-            rem = rem + (eq & nz).astype(jnp.int64)
-        lcp_s = (h + rem).astype(jnp.int32)
-        lcp_s = jnp.where((shard_id() == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
-
-        n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)
-        n = jax.lax.psum(jnp.sum(lensl, dtype=jnp.int64), axis) + n_valid_reads
-        overflow = jax.lax.psum(overflow, axis)
+        r = _sort_body(ctx, n_reads, width, seqs_l, quals_l, lens_l)
         return (
-            bwt_s[None],
-            qs_s[None],
-            lcp_s[None],
-            sa[None],
-            count[None],
-            overflow[None],
-            n,
+            r.bwt[None],
+            r.qs[None],
+            r.lcp[None],
+            r.sa[None],
+            r.count[None],
+            r.overflow[None],
+            r.n,
         )
 
     jitted = jax.jit(kernel)

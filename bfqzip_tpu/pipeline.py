@@ -243,6 +243,7 @@ def run_pipeline(
     check: bool = False,
     reorder: int = 0,
     blocks: int = 0,
+    mesh_shards: int = 0,
     logfile: Optional[str] = None,
     debug_dump: bool = False,
 ) -> PipelineResult:
@@ -268,6 +269,27 @@ def run_pipeline(
 
         with log.step(f"reorder mode {reorder}"):
             batch = reorder_batch(batch, mode=reorder)
+
+    # ---- sequence-sharded mode: ONE global EBWT over the mesh, smoothed and
+    # inverted in a single collective kernel (no per-block ratio cost; see
+    # parallel/global_pipeline.py).  Steps 1-3 fuse; artifacts are skipped. ----
+    if mesh_shards and mesh_shards > 1 and not cfg.original:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)  # i64 sort keys
+        from bfqzip_tpu.parallel import make_mesh, smooth_fastq_sharded
+
+        mesh = make_mesh((1, mesh_shards))
+        with log.step(f"steps1-3: sequence-sharded over {mesh_shards} devices"):
+            smoothed, stats = smooth_fastq_sharded(batch, cfg.smooth, mesh)
+        headers_on = cfg.headers or cfg.mode == 3
+        if headers_on and batch.headers is not None:
+            with open(base + ".h", "wb") as f:
+                f.write(b"\n".join(batch.headers) + b"\n")
+        hdrs = batch.headers if headers_on else None
+        with open(base + ".fq", "wb") as f:
+            f.write(format_fastq(smoothed, headers=hdrs))
+        return _finish_pipeline(inputs, cfg, base, log, stats, paired_split)
 
     # ---- step 1 with artifact caching (BFQzip.py:93-104), content-keyed ----
     if cfg.rebuild or not _artifacts_exist(base, _fingerprint(batch)):
@@ -298,6 +320,11 @@ def run_pipeline(
         with open(base + ".fq", "wb") as f:
             f.write(format_fastq(smoothed, headers=hdrs))
 
+    return _finish_pipeline(inputs, cfg, base, log, stats, paired_split)
+
+
+def _finish_pipeline(inputs, cfg, base, log, stats, paired_split) -> PipelineResult:
+    """Steps 4-5 + report, shared by the artifact and sharded paths."""
     # paired mode: re-split the merged output at the recorded mate boundary
     # into _1/_2 files (BFQzip_parallel.py:153-172) and compress those
     if paired_split is not None and not cfg.original:

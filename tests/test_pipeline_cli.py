@@ -67,6 +67,20 @@ def test_pipeline_cache_invalidated_on_input_change(workdir):
     assert open(base + ".fq", "rb").read() != fq1
 
 
+def test_pipeline_mesh_mode_matches_single_chip(workdir):
+    """--mesh D routes steps 1-3 through the sequence-sharded global pipeline
+    (one EBWT over D devices) and must reproduce the single-chip output."""
+    base1 = str(workdir / "single")
+    base2 = str(workdir / "meshed")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=2), out_base=base1)
+    run_pipeline(
+        [str(workdir / "reads.fastq")], PipelineConfig(mode=2), out_base=base2,
+        mesh_shards=4,
+    )
+    assert open(base2 + ".fq", "rb").read() == open(base1 + ".fq", "rb").read()
+    assert open(base2 + ".fq.dna.rans", "rb").read() == open(base1 + ".fq.dna.rans", "rb").read()
+
+
 def test_pipeline_artifacts_feed_reference_format(workdir):
     """The .bwt artifact uses the reference's ASCII alphabet."""
     base = str(workdir / "out")
