@@ -181,15 +181,12 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
 
                         blob = encode_headers(data.split(b"\n")[:-1])
                     else:
+                        # BQZC v2's match model captures the inter-read repeat
+                        # structure directly in the raw stream, so the
+                        # EBWT-domain BQZE transform (models/dna_ebwt.py) is no
+                        # longer tried here — it measured larger AND costs a
+                        # second suffix sort (BASELINE.md, compression table)
                         blob = rans.encode_blob_best(data)
-                        if path.endswith(".dna") or path.endswith(".fq.dna"):
-                            # EBWT-domain codec (models/dna_ebwt.py): the
-                            # stage-1 transform doubles as the compressor
-                            from bfqzip_tpu.models.dna_ebwt import encode_dna_stream
-
-                            eb = encode_dna_stream(data)
-                            if eb is not None and len(eb) < len(blob):
-                                blob = eb
                     out = path + ".rans"
                     with open(out, "wb") as f:
                         f.write(blob)
