@@ -44,6 +44,12 @@ def build_parser():
     p.add_argument("--mesh", type=int, default=0, metavar="D",
                    help="sequence-shard ONE global EBWT over D devices "
                         "(no per-block ratio cost; needs D devices visible)")
+    p.add_argument("--ext-mem", action="store_true",
+                   help="out-of-core mode: chunked device sorts + host merge "
+                        "(the BFQzip_ext.py engine; 1-byte LCP)")
+    p.add_argument("--mem", type=int, default=4096, metavar="MB",
+                   help="device memory budget for --ext-mem (default 4096, "
+                        "reference BFQzip_ext.py --mem)")
     p.add_argument("-c", "--check", action="store_true", help="validate the input FASTQ")
     p.add_argument("-v", type=int, default=0, dest="verbose", help="verbosity")
     p.add_argument("--codecs", default="rans",
@@ -125,6 +131,7 @@ def main(argv=None) -> int:
         reorder=args.reorder,
         blocks=args.threads,
         mesh_shards=args.mesh,
+        ext_mem_mb=args.mem if args.ext_mem else 0,
         debug_dump=args.debug_dump,
     )
     if args.verbose:

@@ -1,0 +1,298 @@
+"""Out-of-core (external-memory) pipeline: datasets larger than device HBM.
+
+The reference's external-memory engine streams pile-partitioned BWT files and
+an explicit 1-byte LCP from disk (src_ext_mem/bfq_ext.cpp:190-412), built by
+eGap under a --mem budget (BFQzip_ext.py:172-177).  The TPU-native analog
+keeps the DEVICE footprint bounded by a memory budget and the full arrays in
+host RAM:
+
+  1. chunked stage 1: each read chunk's suffixes are sorted on the device
+     (ops/suffix.build_ebwt, bounded by the budget); only the chunk's suffix
+     positions come back to the host;
+  2. the chunk orders are interleaved by the native k-way loser-tree merge
+     (native/extmerge.cpp) which walks the text directly — emitting BWT, the
+     quality permutation, 1-byte LCP (the eGap --lbytes 1 convention), the
+     smoothing predecessor and SA, all as host u8/i32 arrays;
+  3. STREAMING cluster smoothing: ops/smooth.cluster_words runs per device
+     segment through SeqChunkOps — every left-to-right scan op carries one
+     boundary summary between segments (the sequential-chunk analog of
+     parallel/dist_scan.DistScanOps), right-dependencies read a small
+     lookahead halo, and the one long-range right-to-left op (the decision
+     word broadcast) becomes a reverse sweep over per-segment summaries;
+  4. inversion is the host-side permutation scatter grid[(SA-1) mod n_pad]
+     (the invert_via_sa argument, ops/invert.py:50-58).
+
+Byte-equality with the in-core engine holds whenever every read is shorter
+than 255 bp (the 1-byte LCP cap only saturates beyond that; the reference
+shares the cap, src_ext_mem/parameters.h:66-74 — and this path has no
+255 bp READ-length limit, only LCP saturation above it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bfqzip_tpu import alphabet
+from bfqzip_tpu.config import SmoothConfig
+from bfqzip_tpu.io.fastq import ReadBatch
+from bfqzip_tpu.ops.invert import illumina_bin_jax
+from bfqzip_tpu.ops.smooth import apply_words, cluster_words
+from bfqzip_tpu.ops.suffix import build_ebwt
+from bfqzip_tpu.utils import native
+
+# rough device bytes per position for the stage-1 sort (13 i32 operands plus
+# XLA temporaries) and for one smoothing segment's intermediates
+_BUILD_BYTES_PER_POS = 160
+_SMOOTH_BYTES_PER_POS = 120
+
+
+class SeqChunkOps:
+    """ops/scan.LocalScanOps interface for ONE segment of a longer array.
+
+    Arrays passed in are [seg_len + halo] (halo = right lookahead, garbage in
+    the output tail is discarded by the caller).  Left-to-right ops consume a
+    carry recorded by the SAME call (by order) on the previous segment and
+    record the value at the true boundary seg_len-1 for the next one.
+    """
+
+    def __init__(self, base: int, seg_len: int, carries_in):
+        self.base = base
+        self.seg_len = seg_len
+        self.carries_in = carries_in  # list (may be None on first segment)
+        self.carries_out = []
+        self._i = 0
+
+    def _carry(self, default):
+        i = self._i
+        self._i += 1
+        if self.carries_in is None:
+            return default, i
+        return self.carries_in[i], i
+
+    def _record(self, value):
+        self.carries_out.append(value)
+
+    # -- interface ---------------------------------------------------------
+    def iota(self, n: int) -> jax.Array:
+        return self.base + jnp.arange(n, dtype=jnp.int32)
+
+    def shift_prev(self, x, fill):
+        carry, _ = self._carry(jnp.asarray(fill, x.dtype))
+        self._record(x[self.seg_len - 1])
+        return jnp.concatenate([carry[None].astype(x.dtype), x[:-1]])
+
+    def shift_next(self, x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def shift_next_k(self, x, k: int, fill):
+        return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+    def cummax(self, x):
+        lo = jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf
+        carry, _ = self._carry(jnp.asarray(lo, x.dtype))
+        out = jnp.maximum(jax.lax.cummax(x), carry)
+        self._record(out[self.seg_len - 1])
+        return out
+
+    def seg_scan(self, x, flag, combine, init):
+        from bfqzip_tpu.ops.scan import _seg_scan
+
+        local = _seg_scan(x, flag, combine, init)
+        carry, _ = self._carry(jnp.full(local[..., 0].shape, init, x.dtype))
+        seen = jnp.cumsum(flag.astype(jnp.int32)) > 0
+        carried = combine(carry[..., None] if x.ndim == 2 else carry, local)
+        out = jnp.where(seen, local, carried)
+        self._record(out[..., self.seg_len - 1])
+        return out
+
+    def seg_cumsum(self, x, reset):
+        return self.seg_scan(x, reset, jnp.add, 0)
+
+    def seg_cumor(self, x, reset):
+        return self.seg_scan(x, reset, jnp.bitwise_or, 0)
+
+    def next_marked(self, x, mark, init=0):
+        raise NotImplementedError(
+            "right-to-left broadcast is the phase-B reverse sweep, not an op"
+        )
+
+    def sum(self, x):
+        return jnp.sum(x[: self.seg_len])
+
+
+def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig, seg_len: int):
+    """cluster_words on one [seg_len + halo] window; returns per-position
+    outputs (valid on [0, seg_len)), partial stats, scan carries, and the
+    segment's (first-close word, any-close) summary for phase B."""
+    ops = SeqChunkOps(int(base) if isinstance(base, int) else base, seg_len, carries)
+    word, close_mark, in_cluster, stats = cluster_words(
+        bwt, qs, lcp.astype(jnp.int32), n, cfg, pre, ops
+    )
+    cm = close_mark[:seg_len]
+    idx = jnp.argmax(cm)  # first close (0 if none)
+    any_close = jnp.any(cm)
+    first_word = jnp.where(any_close, word[idx], 0)
+    return word, close_mark, in_cluster, stats, ops.carries_out, first_word, any_close
+
+
+def smooth_fastq_external(
+    batch: ReadBatch,
+    cfg: SmoothConfig | None = None,
+    mem_bytes: int = 4 << 30,
+    *,
+    _seg_len: int | None = None,
+    _reads_per_chunk: int | None = None,
+) -> Tuple[ReadBatch, dict]:
+    """Out-of-core engine.smooth_fastq: same output, bounded device memory.
+
+    The underscore knobs pin the chunk/segment sizes directly (tests force
+    many tiny segments to exercise every carry path)."""
+    cfg = cfg or SmoothConfig()
+    if not native.ext_merge_available():
+        raise RuntimeError("external mode needs the native library (make -C native)")
+    n_reads, width = batch.seqs.shape
+    wp = width + 1
+    n_pad = n_reads * wp
+
+    # ---- stage 1: chunked device sorts + native host merge ----
+    reads_per_chunk = _reads_per_chunk or max(int(mem_bytes / _BUILD_BYTES_PER_POS / wp), 1)
+    k = np.arange(wp)[None, :]
+    text = np.where(
+        k < batch.lengths[:, None],
+        np.pad(batch.seqs, ((0, 0), (0, 1))).astype(np.uint8) + 1,
+        0,
+    ).reshape(-1)
+    qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
+
+    sa_chunks = []
+    for lo in range(0, n_reads, reads_per_chunk):
+        hi = min(lo + reads_per_chunk, n_reads)
+        dev = build_ebwt(
+            jnp.asarray(batch.seqs[lo:hi]),
+            jnp.asarray(batch.quals[lo:hi]),
+            jnp.asarray(batch.lengths[lo:hi]),
+        )
+        nloc = int(dev.n)
+        sa_chunks.append((np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32))
+        del dev
+    bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(text, qtext, sa_chunks)
+    del sa_chunks
+    n = bwt_h.size
+
+    # ---- stage 2: streaming cluster smoothing ----
+    seg_len = _seg_len or max(int(mem_bytes / _SMOOTH_BYTES_PER_POS), 1 << 16)
+    # right lookahead: close_mark/open_mark at seg_len-1 reach pred at
+    # seg_len+m-2 which reads lcp at seg_len+m-1
+    halo = cfg.min_cluster + 4
+    n_seg = -(-n // seg_len)
+
+    part1 = jax.jit(
+        functools.partial(_part1_segment, cfg=cfg, seg_len=seg_len),
+        static_argnames=(),
+    )
+
+    def seg_slice(arr, s, fill):
+        lo = s * seg_len
+        hi = min(lo + seg_len + halo, n)
+        out = arr[lo:hi]
+        pad = seg_len + halo - out.size
+        if pad:
+            out = np.concatenate([out, np.full(pad, fill, arr.dtype)])
+        return jnp.asarray(out)
+
+    words_h = np.empty(n_seg * seg_len, np.int32)
+    close_h = np.empty(n_seg * seg_len, bool)
+    inclu_h = np.empty(n_seg * seg_len, bool)
+    firsts, anys = [], []
+    stats_acc: dict = {}
+    carries = None
+    for s in range(n_seg):
+        word, close, inclu, stats, carries, fw, ac = part1(
+            seg_slice(bwt_h, s, alphabet.SIGMA),
+            seg_slice(qs_h, s, 0),
+            seg_slice(lcp_h, s, 0),
+            seg_slice(pre_h, s, 0),
+            jnp.int32(s * seg_len),
+            jnp.int32(n),
+            carries,
+        )
+        lo = s * seg_len
+        words_h[lo : lo + seg_len] = np.asarray(word[:seg_len])
+        close_h[lo : lo + seg_len] = np.asarray(close[:seg_len])
+        inclu_h[lo : lo + seg_len] = np.asarray(inclu[:seg_len])
+        firsts.append(int(fw))
+        anys.append(bool(ac))
+        for key, v in stats.items():
+            stats_acc[key] = stats_acc.get(key, 0) + int(v)
+
+    # phase B: reverse sweep — decision-word broadcast across segments
+    right_carry = np.zeros(n_seg, np.int32)
+    carry = 0
+    for s in range(n_seg - 1, -1, -1):
+        right_carry[s] = carry
+        if anys[s]:
+            carry = firsts[s]
+
+    apply_j = jax.jit(functools.partial(_apply_segment, cfg=cfg, seg_len=seg_len))
+    packed_h = np.zeros(n_pad, np.int32)
+    mod_total = sm_total = 0
+    for s in range(n_seg):
+        lo = s * seg_len
+        hi = min(lo + seg_len, n)
+        packed, mod, smo = apply_j(
+            seg_slice(bwt_h, s, alphabet.SIGMA),
+            seg_slice(qs_h, s, 0),
+            seg_slice(pre_h, s, 0),
+            jnp.asarray(np.ascontiguousarray(words_h[lo : lo + seg_len])),
+            jnp.asarray(np.ascontiguousarray(close_h[lo : lo + seg_len])),
+            jnp.asarray(np.ascontiguousarray(inclu_h[lo : lo + seg_len])),
+            jnp.int32(right_carry[s]),
+            jnp.int32(n - lo),
+        )
+        target = (sa_h[lo:hi].astype(np.int64) - 1) % n_pad
+        packed_h[target] = np.asarray(packed)[: hi - lo]
+        mod_total += int(mod)
+        sm_total += int(smo)
+    stats_acc["modified"] = mod_total
+    stats_acc["qs_smoothed"] = sm_total
+
+    # ---- stage 3: emission (the scatter above WAS the inversion) ----
+    grid = packed_h.reshape(n_reads, wp)
+    seqs = (grid[:, :width] & 0xFF).astype(np.uint8)
+    quals = ((grid[:, :width] >> 8) & 0xFF).astype(np.uint8)
+    out = ReadBatch(
+        seqs=seqs,
+        quals=quals,
+        lengths=batch.lengths.astype(np.int32),
+        headers=batch.headers,
+    )
+    return out, stats_acc
+
+
+def _apply_segment(bwt, qs, pre, word, close, inclu, right_carry, n_rem,
+                   cfg: SmoothConfig, seg_len: int):
+    """Phase B per segment: local decision-word broadcast + apply + pack."""
+    from bfqzip_tpu.ops.scan import next_marked
+
+    w_local = next_marked(jnp.where(close, word, 0), close, init=0)
+    seen_right = jnp.cumsum(close[::-1].astype(jnp.int32))[::-1] > 0
+    w = jnp.where(seen_right, w_local, right_carry)
+    bwt_t = bwt[:seg_len]
+    qs_t = qs[:seg_len]
+    pre_t = pre[:seg_len]
+    bwt_sub, qs_out, modified, smoothed = apply_words(bwt_t, qs_t, pre_t, w, inclu, cfg)
+    if cfg.binning:
+        qs_out = illumina_bin_jax(qs_out)
+    valid = jnp.arange(seg_len, dtype=jnp.int32) < n_rem
+    is_char = (bwt_t != alphabet.TERM) & (bwt_t != jnp.uint8(alphabet.SIGMA)) & valid
+    packed = jnp.where(
+        is_char, (qs_out.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32), 0
+    )
+    return packed, jnp.sum((modified & valid).astype(jnp.int32)), jnp.sum(
+        (smoothed & valid).astype(jnp.int32)
+    )

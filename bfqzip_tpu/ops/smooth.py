@@ -70,6 +70,33 @@ class SmoothOut(NamedTuple):
 def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None, ops=None) -> SmoothOut:
     ops = ops or LOCAL_OPS
     bwt, qs, lcp, n = ebwt.bwt, ebwt.qs, ebwt.lcp, ebwt.n
+    if pre is None:
+        # symbol preceding each BWT position: bwt[LF[j]] (bfq_int.cpp:547)
+        # (single-device only: rank is a global cumsum; sharded/streaming
+        # callers pass pre = text[(sa-2) % n_pad] carried from the sort)
+        valid = ops.iota(bwt.shape[0]) < n
+        lf = lf_array(bwt, valid)
+        pre = bwt[lf]
+    word, close_mark, in_cluster, stats = cluster_words(bwt, qs, lcp, n, cfg, pre, ops)
+    # broadcast the close-position word back over the cluster members with a
+    # keep-left segmented scan on the reversed array — no cluster-id gather
+    w = ops.next_marked(jnp.where(close_mark, word, 0), close_mark, init=0)
+    bwt_sub, qs_out, modified, qs_smoothed = apply_words(bwt, qs, pre, w, in_cluster, cfg)
+    stats["modified"] = ops.sum(modified.astype(jnp.int32))
+    stats["qs_smoothed"] = ops.sum(qs_smoothed.astype(jnp.int32))
+    return SmoothOut(bwt_sub=bwt_sub, qs=qs_out, stats=stats)
+
+
+def cluster_words(bwt, qs, lcp, n, cfg: SmoothConfig, pre, ops) -> tuple:
+    """Cluster detection + per-cluster decisions, all in scan form.
+
+    Returns (word, close_mark, in_cluster, stats): `word` is the packed
+    30-bit decision word, meaningful at close positions; the caller
+    broadcasts it over members (ops.next_marked, the only right-to-left
+    long-range dependency) and applies it with apply_words — the split lets
+    the streaming external-memory path (bfqzip_tpu/external.py) run this
+    part chunk-by-chunk with carries.
+    """
     n_pad = bwt.shape[0]
     pos = ops.iota(n_pad)
     valid = pos < n
@@ -105,13 +132,6 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None, ops=None) -> SmoothOut
 
     nonterm_pos = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA))
     qt = cfg.quality_threshold + 33
-
-    if pre is None:
-        # symbol preceding each BWT position: bwt[LF[j]] (bfq_int.cpp:547)
-        # (single-device only: rank is a global cumsum; sharded callers pass
-        # pre = text[(sa-2) % n_pad] carried from the sort)
-        lf = lf_array(bwt, valid)
-        pre = bwt[lf]
 
     # ---- per-cluster totals: ONE batched segmented cumsum for the 5 symbol
     # counts + ONE segmented OR for the 21 presence bits (packed into a
@@ -250,10 +270,35 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None, ops=None) -> SmoothOut
         | jnp.clip(c_newqs, 0, 255) << _B_NEWQS
         | high_bits
     )
-    # broadcast the close-position word back over the cluster members with a
-    # keep-left segmented scan on the reversed array — no cluster-id gather
-    w = ops.next_marked(jnp.where(close_mark, word, 0), close_mark, init=0)
+    # ---- counters (bfq_int.cpp:53-65,1004-1020), summed at close marks ----
+    c_nnn = sum((f > 0).astype(jnp.int32) for f in c_freq)
+    c_disc = c_has_bases & (
+        (c_nfreq == 0)
+        | ((c_nfreq == 1) & (c_f0 == _N_ORD))
+        | ((c_nfreq == 2) & (c_basenum < m))
+    )
 
+    def ccount(mask):
+        return ops.sum((mask & close_mark).astype(jnp.int32))
+
+    stats = {
+        "num_clust": ccount(jnp.ones((n_pad,), bool)),
+        "num_clust_discarded": ccount(c_disc),
+        "num_clust_amb_discarded": ccount(c_two & ~c_two_ok),
+        "num_clust_mod": ccount(c_single2 | c_two_ok),
+        "num_clust_alleq": ccount(c_has_bases & (c_nnn == 1)),
+        "bases_inside": ops.sum(jnp.where(close_mark, c_basenum, 0)).astype(jnp.int32),
+    }
+    return word, close_mark, in_cluster, stats
+
+
+def apply_words(bwt, qs, pre, w, in_cluster, cfg: SmoothConfig) -> tuple:
+    """Apply broadcast decision words w to every cluster member (elementwise).
+
+    Returns (bwt_sub, qs_out, modified_mask, smoothed_mask)."""
+    n_pad = bwt.shape[0]
+    qt = cfg.quality_threshold + 33
+    nonterm_pos = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA))
     apply_mask = in_cluster & nonterm_pos
     cl_single = ((w >> _B_SINGLE) & 1) == 1
     cl_two_ok = ((w >> _B_TWO) & 1) == 1
@@ -286,27 +331,7 @@ def smooth(ebwt: EbwtDevice, cfg: SmoothConfig, pre=None, ops=None) -> SmoothOut
     bwt_sub = jnp.where(s_replace, cl_ssym, bwt)
     bwt_sub = jnp.where(t_rep0, cl_f0, bwt_sub)
     bwt_sub = jnp.where(t_rep1, cl_f1, bwt_sub)
-    qs_out = jnp.where(s_qs_const | s_qs_min | t_qs_const | t_qs_min, cl_newqs, qs)
-
-    # ---- counters (bfq_int.cpp:53-65,1004-1020), summed at close marks ----
-    c_nnn = sum((f > 0).astype(jnp.int32) for f in c_freq)
-    c_disc = c_has_bases & (
-        (c_nfreq == 0)
-        | ((c_nfreq == 1) & (c_f0 == _N_ORD))
-        | ((c_nfreq == 2) & (c_basenum < m))
-    )
-
-    def ccount(mask):
-        return ops.sum((mask & close_mark).astype(jnp.int32))
-
-    stats = {
-        "num_clust": ccount(jnp.ones((n_pad,), bool)),
-        "num_clust_discarded": ccount(c_disc),
-        "num_clust_amb_discarded": ccount(c_two & ~c_two_ok),
-        "num_clust_mod": ccount(c_single2 | c_two_ok),
-        "num_clust_alleq": ccount(c_has_bases & (c_nnn == 1)),
-        "bases_inside": ops.sum(jnp.where(close_mark, c_basenum, 0)).astype(jnp.int32),
-        "modified": ops.sum((s_replace | t_rep0 | t_rep1).astype(jnp.int32)),
-        "qs_smoothed": ops.sum((s_qs_const | s_qs_min | t_qs_const | t_qs_min).astype(jnp.int32)),
-    }
-    return SmoothOut(bwt_sub=bwt_sub, qs=qs_out, stats=stats)
+    smoothed = s_qs_const | s_qs_min | t_qs_const | t_qs_min
+    qs_out = jnp.where(smoothed, cl_newqs, qs)
+    modified = s_replace | t_rep0 | t_rep1
+    return bwt_sub, qs_out, modified, smoothed

@@ -241,6 +241,7 @@ def run_pipeline(
     reorder: int = 0,
     blocks: int = 0,
     mesh_shards: int = 0,
+    ext_mem_mb: int = 0,
     logfile: Optional[str] = None,
     debug_dump: bool = False,
 ) -> PipelineResult:
@@ -266,6 +267,24 @@ def run_pipeline(
 
         with log.step(f"reorder mode {reorder}"):
             batch = reorder_batch(batch, mode=reorder)
+
+    # ---- out-of-core mode (BFQzip_ext.py surface): chunked device sorts +
+    # native host merge + streaming smoothing under a device-memory budget ----
+    if ext_mem_mb and not cfg.original:
+        from bfqzip_tpu.external import smooth_fastq_external
+
+        with log.step(f"steps1-3: external memory, budget {ext_mem_mb} MB"):
+            smoothed, stats = smooth_fastq_external(
+                batch, cfg.smooth, mem_bytes=ext_mem_mb << 20
+            )
+        headers_on = cfg.headers or cfg.mode == 3
+        if headers_on and batch.headers is not None:
+            with open(base + ".h", "wb") as f:
+                f.write(b"\n".join(batch.headers) + b"\n")
+        hdrs = batch.headers if headers_on else None
+        with open(base + ".fq", "wb") as f:
+            f.write(format_fastq(smoothed, headers=hdrs))
+        return _finish_pipeline(inputs, cfg, base, log, stats, paired_split)
 
     # ---- sequence-sharded mode: ONE global EBWT over the mesh, smoothed and
     # inverted in a single collective kernel (no per-block ratio cost; see

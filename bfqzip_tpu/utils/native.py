@@ -35,7 +35,7 @@ def _find_lib():
             lib.fastq_format.restype = ctypes.c_int64
             lib.rans_encode.restype = ctypes.c_int64
             lib.rans_decode.restype = ctypes.c_int64
-            for sym in ("cm_encode", "cm_decode"):
+            for sym in ("cm_encode", "cm_decode", "ext_merge"):
                 if hasattr(lib, sym):
                     getattr(lib, sym).restype = ctypes.c_int64
             _LIB = lib
@@ -148,6 +148,42 @@ def cm_decode(blob: bytes) -> Optional[np.ndarray]:
     if rc < 0:
         raise ValueError(f"native cm_decode rc={rc}")
     return out
+
+
+def ext_merge_available() -> bool:
+    lib = _find_lib()
+    return lib is not None and hasattr(lib, "ext_merge")
+
+
+def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks):
+    """K-way merge of per-chunk sorted suffix orders (native/extmerge.cpp).
+
+    text/qtext: [n_pad] u8 padded layout (0 = terminator/pad); sa_chunks: list
+    of i32 arrays of GLOBAL suffix positions, each sorted by suffix.  Returns
+    (bwt, qs, lcp_u8, pre, sa) in merged order.
+    """
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "ext_merge"):
+        raise RuntimeError("native ext_merge unavailable (make -C native)")
+    text = np.ascontiguousarray(text, np.uint8)
+    qtext = np.ascontiguousarray(qtext, np.uint8)
+    sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), np.int32)
+    offs = np.zeros(len(sa_chunks) + 1, np.int64)
+    np.cumsum([len(c) for c in sa_chunks], out=offs[1:])
+    total = int(offs[-1])
+    bwt = np.empty(total, np.uint8)
+    qs = np.empty(total, np.uint8)
+    lcp = np.empty(total, np.uint8)
+    pre = np.empty(total, np.uint8)
+    sa = np.empty(total, np.int32)
+    rc = lib.ext_merge(
+        _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
+        _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
+        _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
+    )
+    if rc != total:
+        raise RuntimeError(f"native ext_merge rc={rc} (expected {total})")
+    return bwt, qs, lcp, pre, sa
 
 
 def rans_decode(blob: bytes) -> Optional[np.ndarray]:

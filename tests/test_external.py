@@ -1,0 +1,91 @@
+"""Out-of-core pipeline (bfqzip_tpu/external.py) vs the in-core engine.
+
+Byte equality across forced-tiny chunk/segment sizes exercises every carry
+path: stage-1 chunked sorts + native merge, streaming cluster_words carries,
+the reverse decision-word sweep, and the host scatter inversion.
+"""
+
+import numpy as np
+import pytest
+
+from bfqzip_tpu import SmoothConfig
+from bfqzip_tpu.engine import smooth_fastq
+from bfqzip_tpu.external import smooth_fastq_external
+from bfqzip_tpu.io.fastq import read_fastq
+from bfqzip_tpu.utils import native
+
+from conftest import golden_path
+from tests_util import tiny_batch
+
+pytestmark = pytest.mark.skipif(
+    not native.ext_merge_available(), reason="native library not built"
+)
+
+
+def _cmp(batch, cfg, **kw):
+    want, wstats = smooth_fastq(batch, cfg)
+    got, gstats = smooth_fastq_external(batch, cfg, **kw)
+    w = int(want.lengths.max())
+    assert np.array_equal(got.lengths, want.lengths)
+    assert np.array_equal(got.seqs[:, :w], want.seqs[:, :w])
+    assert np.array_equal(got.quals[:, :w], want.quals[:, :w])
+    assert gstats == wstats
+
+
+@pytest.mark.parametrize(
+    "cfg,seg,rpc",
+    [
+        (SmoothConfig(), None, None),  # single segment / single chunk
+        (SmoothConfig(), 997, 17),  # many tiny segments + chunks
+        (SmoothConfig(mode=0), 1024, 33),
+        (SmoothConfig(mode=1), 1500, 29),
+        (SmoothConfig(mode=3, binning=True), 2048, 40),
+    ],
+)
+def test_external_matches_engine_example(cfg, seg, rpc):
+    batch = read_fastq(golden_path("example.in.fastq"))
+    _cmp(batch, cfg, _seg_len=seg, _reads_per_chunk=rpc)
+
+
+def test_external_matches_engine_varlen():
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng, n_reads=80, min_len=16, max_len=24, n_frac=0.03)
+    _cmp(batch, SmoothConfig(k=4, min_cluster=3), _seg_len=301, _reads_per_chunk=13)
+
+
+def test_native_merge_matches_oracle():
+    """The k-way loser-tree merge interleaves per-chunk suffix orders into
+    exactly the oracle's global order (BWT/QS/LCP byte-equal; LCP capped at
+    255 per the eGap --lbytes 1 convention)."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu import ref_golden
+    from bfqzip_tpu.io.fastq import ReadBatch
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng, n_reads=60, min_len=15, max_len=22, n_frac=0.02)
+    N, W = batch.seqs.shape
+    wp = W + 1
+    k = np.arange(wp)[None, :]
+    text = np.where(
+        k < batch.lengths[:, None],
+        np.pad(batch.seqs, ((0, 0), (0, 1))).astype(np.uint8) + 1,
+        0,
+    ).reshape(-1)
+    qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
+    bounds = np.linspace(0, N, 5).astype(int)
+    sa_chunks = []
+    for c in range(4):
+        lo, hi = bounds[c], bounds[c + 1]
+        dev = build_ebwt(
+            jnp.asarray(batch.seqs[lo:hi]),
+            jnp.asarray(batch.quals[lo:hi]),
+            jnp.asarray(batch.lengths[lo:hi]),
+        )
+        sa_chunks.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+    bwt, qs, lcp, pre, sa = native.ext_merge(text, qtext, sa_chunks)
+    ref = ref_golden.build_ebwt(batch)
+    assert np.array_equal(bwt, ref.bwt)
+    assert np.array_equal(qs, ref.qs)
+    assert np.array_equal(lcp, np.minimum(ref.lcp, 255).astype(np.uint8))

@@ -81,6 +81,19 @@ def test_pipeline_mesh_mode_matches_single_chip(workdir):
     assert open(base2 + ".fq.dna.rans", "rb").read() == open(base1 + ".fq.dna.rans", "rb").read()
 
 
+def test_pipeline_ext_mem_matches_in_core(workdir):
+    """--ext-mem routes steps 1-3 through the out-of-core engine and must
+    reproduce the in-core output (BFQzip_ext.py vs BFQzip.py parity)."""
+    base1 = str(workdir / "incore")
+    base2 = str(workdir / "extmem")
+    run_pipeline([str(workdir / "reads.fastq")], PipelineConfig(mode=2), out_base=base1)
+    run_pipeline(
+        [str(workdir / "reads.fastq")], PipelineConfig(mode=2), out_base=base2,
+        ext_mem_mb=64,
+    )
+    assert open(base2 + ".fq", "rb").read() == open(base1 + ".fq", "rb").read()
+
+
 def test_pipeline_artifacts_feed_reference_format(workdir):
     """The .bwt artifact uses the reference's ASCII alphabet."""
     base = str(workdir / "out")
