@@ -109,6 +109,10 @@ def main():
             "example": read_fastq(f"{REFERENCE}/example/reads.fastq"),
             "example_r1": read_fastq(f"{REFERENCE}/example/reads_1.fastq"),
             "synth_var": synthetic_batch(seed=7, n_reads=300, min_len=40, max_len=150, n_frac=0.01),
+            # beyond the reference ext-mem 255bp cap (parameters.h:66-74) and
+            # beyond the flat-path window (suffix.py MAX_FLAT_WORDS): exercises
+            # the prefix-doubling builder end to end
+            "synth_long": synthetic_batch(seed=11, n_reads=120, min_len=400, max_len=600, n_frac=0.005),
         }
         # store inputs so tests do not depend on /root/reference
         for name, batch in datasets.items():

@@ -19,7 +19,7 @@ def _load(name):
     return read_fastq(golden_path(f"{name}.in.fastq"))
 
 
-@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var", "synth_long"])
 @pytest.mark.parametrize("mode", [0, 1, 2, 3])
 def test_modes_headerless(dataset, mode):
     batch = _load(dataset)
@@ -28,7 +28,7 @@ def test_modes_headerless(dataset, mode):
     assert format_fastq(out, headers=None) == golden
 
 
-@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var", "synth_long"])
 def test_binning(dataset):
     batch = _load(dataset)
     out, _ = ref_golden.smooth_fastq(batch, SmoothConfig(mode=2, binning=True))
@@ -36,7 +36,7 @@ def test_binning(dataset):
     assert format_fastq(out, headers=None) == golden
 
 
-@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var", "synth_long"])
 def test_with_headers(dataset):
     batch = _load(dataset)
     out, _ = ref_golden.smooth_fastq(batch, SmoothConfig(mode=2))

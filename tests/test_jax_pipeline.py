@@ -18,7 +18,7 @@ def _load(name):
     return read_fastq(golden_path(f"{name}.in.fastq"))
 
 
-@pytest.mark.parametrize("dataset", ["example", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "synth_var", "synth_long"])
 def test_ebwt_matches_numpy(dataset):
     batch = _load(dataset)
     ref = ref_golden.build_ebwt(batch)
@@ -87,7 +87,7 @@ def test_ebwt_flat_doubling_agree():
         assert np.array_equal(np.asarray(flat.pre)[:n], want[:n])
 
 
-@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "example_r1", "synth_var", "synth_long"])
 @pytest.mark.parametrize("mode", [0, 1, 2, 3])
 def test_golden_byte_equality(dataset, mode):
     batch = _load(dataset)
@@ -96,7 +96,7 @@ def test_golden_byte_equality(dataset, mode):
     assert format_fastq(out, headers=None) == golden
 
 
-@pytest.mark.parametrize("dataset", ["example", "synth_var"])
+@pytest.mark.parametrize("dataset", ["example", "synth_var", "synth_long"])
 def test_golden_binning(dataset):
     batch = _load(dataset)
     out, _ = smooth_fastq(batch, SmoothConfig(mode=2, binning=True))
