@@ -166,31 +166,45 @@ def step3_smooth(base: str, cfg: PipelineConfig, log: StepLogger, debug_dump: bo
     return out, {k: int(v) for k, v in stats.items()}
 
 
+def _rans_one(path: str) -> str:
+    data = open(path, "rb").read()
+    if path.endswith(".h"):
+        # tokenising header model (models/headers.py)
+        from bfqzip_tpu.models.headers import encode_headers
+
+        blob = encode_headers(data.split(b"\n")[:-1])
+    else:
+        # BQZC v2's match model captures the inter-read repeat
+        # structure directly in the raw stream, so the
+        # EBWT-domain BQZE transform (models/dna_ebwt.py) is no
+        # longer tried here — it measured larger AND costs a
+        # second suffix sort (BASELINE.md, compression table)
+        blob = rans.encode_blob_best(data)
+    out = path + ".rans"
+    with open(out, "wb") as f:
+        f.write(blob)
+    return out
+
+
 def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, List[str]]:
-    """Entropy-code every stream with each backend (BFQzip.py:253-275)."""
+    """Entropy-code every stream with each backend (BFQzip.py:253-275).
+
+    The in-tree coder runs the streams CONCURRENTLY (the native encode
+    releases the GIL), mirroring the reference's threaded compressor fan-out
+    (BFQzip_parallel.py:204-233)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     outputs: Dict[str, List[str]] = {}
     for codec in codecs:
         outs = []
+        if codec == "rans" and streams:
+            with log.step("step5: rans " + " ".join(os.path.basename(p) for p in streams)):
+                with ThreadPoolExecutor(max_workers=min(len(streams), 8)) as tp:
+                    outs.extend(tp.map(_rans_one, streams))
+            outputs[codec] = outs
+            continue
         for path in streams:
-            if codec == "rans":
-                with log.step(f"step5: rans {os.path.basename(path)}"):
-                    data = open(path, "rb").read()
-                    if path.endswith(".h"):
-                        # tokenising header model (models/headers.py)
-                        from bfqzip_tpu.models.headers import encode_headers
-
-                        blob = encode_headers(data.split(b"\n")[:-1])
-                    else:
-                        # BQZC v2's match model captures the inter-read repeat
-                        # structure directly in the raw stream, so the
-                        # EBWT-domain BQZE transform (models/dna_ebwt.py) is no
-                        # longer tried here — it measured larger AND costs a
-                        # second suffix sort (BASELINE.md, compression table)
-                        blob = rans.encode_blob_best(data)
-                    out = path + ".rans"
-                    with open(out, "wb") as f:
-                        f.write(blob)
-            elif codec == "ppmd" and ZIP7:
+            if codec == "ppmd" and ZIP7:
                 out = path + ".7z"
                 if os.path.exists(out):
                     os.remove(out)
@@ -310,7 +324,7 @@ def run_pipeline(
     # ---- step 1 with artifact caching (BFQzip.py:93-104), content-keyed ----
     if cfg.rebuild or not _artifacts_exist(base, _fingerprint(batch)):
         if blocks and blocks > 1:
-            _blockwise_step1_3(batch, base, cfg, blocks, log)
+            _blockwise_step1_3(batch, base, cfg, blocks, log, paired_split=paired_split)
             smoothed, stats = _load_fq(base), {}
         else:
             step1_build(batch, base, log)
@@ -403,43 +417,93 @@ def _concat(batches: List[ReadBatch]) -> ReadBatch:
     return ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=headers)
 
 
-def _blockwise_step1_3(batch, base, cfg, blocks, log):
+def _block_permutation(n: int, blocks: int, paired_split: Optional[int]):
+    """Read order for block mode.  Unpaired: contiguous ~equal blocks
+    (BFQzip_parallel.py:288-323).  Paired: each block holds its share of
+    file-1 reads followed by the matching file-2 reads
+    (split_fastq_2, BFQzip_parallel.py:325-360), so mates land in the SAME
+    block's EBWT.  Returns (perm, block index bounds in permuted order)."""
+    if paired_split is None:
+        size = (n + blocks - 1) // blocks
+        bounds = [(b * size, min((b + 1) * size, n)) for b in range(blocks)]
+        return np.arange(n), bounds
+    n1 = paired_split
+    n2 = n - n1
+    s1 = (n1 + blocks - 1) // blocks
+    s2 = (n2 + blocks - 1) // blocks
+    idx, bounds, off = [], [], 0
+    for b in range(blocks):
+        lo1, hi1 = b * s1, min((b + 1) * s1, n1)
+        lo2, hi2 = b * s2, min((b + 1) * s2, n2)
+        idx.append(np.arange(lo1, hi1))
+        idx.append(n1 + np.arange(lo2, hi2))
+        take = (hi1 - lo1) + (hi2 - lo2)
+        bounds.append((off, off + take))
+        off += take
+    return np.concatenate(idx), bounds
+
+
+def _blockwise_step1_3(batch, base, cfg, blocks, log, paired_split=None):
     """Block mode: independent EBWT per ~equal read block, outputs merged in
-    block order (BFQzip_parallel.py:288-323,137-152).  On a single chip the
-    blocks run sequentially through the engine; on a mesh use
-    bfqzip_tpu.parallel.block instead."""
+    block order (BFQzip_parallel.py:288-323,137-152).  When the visible
+    device count covers the block count, every block runs concurrently as one
+    shard_map step (parallel/block.py — the reference's thread fan-out,
+    BFQzip_parallel.py:104-119); otherwise blocks run sequentially through
+    the engine under one cached compilation."""
+    import jax
+
     from bfqzip_tpu.engine import smooth_fastq
 
     n = batch.num_reads
-    size = (n + blocks - 1) // blocks
-    parts = []
-    for b in range(blocks):
-        lo = b * size
-        hi = min((b + 1) * size, n)
-        take = hi - lo
-        # pad the final block to the common shape so a single jit compilation
-        # serves every block (dummy 1-base reads, lowest quality)
-        seqs_b = np.zeros((size, batch.max_len), np.uint8)
-        quals_b = np.zeros((size, batch.max_len), np.uint8)
-        lens_b = np.ones(size, np.int32)
-        seqs_b[:take] = batch.seqs[lo:hi]
-        quals_b[:take] = batch.quals[lo:hi]
-        lens_b[:take] = batch.lengths[lo:hi]
-        if take < size:
-            seqs_b[take:, 0] = 1
-            quals_b[take:, 0] = 33
-        sub = ReadBatch(seqs=seqs_b, quals=quals_b, lengths=lens_b)
-        with log.step(f"block {b+1}/{blocks}: EBWT+smooth+invert ({take} reads)"):
-            out, _ = smooth_fastq(sub, cfg.smooth)
-        out = ReadBatch(seqs=out.seqs[:take], quals=out.quals[:take],
-                        lengths=out.lengths[:take])
-        parts.append(out)
-    width = max(p.max_len for p in parts)
+    perm, bounds = _block_permutation(n, blocks, paired_split)
+    work = ReadBatch(
+        seqs=batch.seqs[perm], quals=batch.quals[perm],
+        lengths=batch.lengths[perm],
+    )
+
+    equal_blocks = len({hi - lo for lo, hi in bounds}) == 1
+    if blocks > 1 and len(jax.devices()) >= blocks and equal_blocks:
+        from bfqzip_tpu.parallel import block_smooth_fastq, make_mesh
+
+        with log.step(f"blocks 1-{blocks}: mesh-parallel EBWT+smooth+invert"):
+            merged_w, _ = block_smooth_fastq(
+                work, cfg.smooth, make_mesh((blocks, 1)), axes=("data",)
+            )
+    else:
+        size = max(hi - lo for lo, hi in bounds)
+        parts = []
+        for b, (lo, hi) in enumerate(bounds):
+            take = hi - lo
+            # pad every block to the common shape so a single jit compilation
+            # serves all blocks (dummy 1-base reads, lowest quality)
+            seqs_b = np.zeros((size, batch.max_len), np.uint8)
+            quals_b = np.zeros((size, batch.max_len), np.uint8)
+            lens_b = np.ones(size, np.int32)
+            seqs_b[:take] = work.seqs[lo:hi]
+            quals_b[:take] = work.quals[lo:hi]
+            lens_b[:take] = work.lengths[lo:hi]
+            if take < size:
+                seqs_b[take:, 0] = 1
+                quals_b[take:, 0] = 33
+            sub = ReadBatch(seqs=seqs_b, quals=quals_b, lengths=lens_b)
+            with log.step(f"block {b+1}/{blocks}: EBWT+smooth+invert ({take} reads)"):
+                out, _ = smooth_fastq(sub, cfg.smooth)
+            parts.append(ReadBatch(seqs=out.seqs[:take], quals=out.quals[:take],
+                                   lengths=out.lengths[:take]))
+        width = max(p.max_len for p in parts)
+        merged_w = ReadBatch(
+            seqs=np.concatenate([np.pad(p.seqs, ((0, 0), (0, width - p.max_len))) for p in parts]),
+            quals=np.concatenate([np.pad(p.quals, ((0, 0), (0, width - p.max_len))) for p in parts]),
+            lengths=np.concatenate([p.lengths for p in parts]),
+        )
+
+    # back to input order: file-1 reads then file-2 reads (the paired
+    # re-split in _finish_pipeline cuts at paired_split)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
     merged = ReadBatch(
-        seqs=np.concatenate([np.pad(p.seqs, ((0, 0), (0, width - p.max_len))) for p in parts]),
-        quals=np.concatenate([np.pad(p.quals, ((0, 0), (0, width - p.max_len))) for p in parts]),
-        lengths=np.concatenate([p.lengths for p in parts]),
-        headers=batch.headers,
+        seqs=merged_w.seqs[inv], quals=merged_w.quals[inv],
+        lengths=merged_w.lengths[inv], headers=batch.headers,
     )
     hdrs = batch.headers if (cfg.headers or cfg.mode == 3) else None
     with open(base + ".fq", "wb") as f:

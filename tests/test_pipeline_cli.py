@@ -105,15 +105,67 @@ def test_pipeline_artifacts_feed_reference_format(workdir):
 
 
 def test_pipeline_block_mode(workdir):
+    """Block-mode output must EQUAL running the engine on each block
+    separately and concatenating in order (BFQzip_parallel.py:137-152)."""
+    from bfqzip_tpu.engine import smooth_fastq
+    from bfqzip_tpu.io.fastq import ReadBatch, format_fastq, read_fastq
+
     base = str(workdir / "out_blocks")
-    res = run_pipeline(
+    run_pipeline(
         [str(workdir / "reads.fastq")], PipelineConfig(mode=1), out_base=base, blocks=4
     )
     fq = open(base + ".fq", "rb").read()
-    assert fq.count(b"\n") == 400
-    # block mode output differs from whole-file mode (independent EBWTs) but
-    # must still reconstruct the same DNA content for unmodified reads count
-    assert len(fq.split(b"\n")[1]) == 101
+
+    batch = read_fastq(str(workdir / "reads.fastq"))
+    parts = []
+    for b in range(4):
+        lo, hi = 25 * b, 25 * (b + 1)
+        sub = ReadBatch(seqs=batch.seqs[lo:hi], quals=batch.quals[lo:hi],
+                        lengths=batch.lengths[lo:hi])
+        out, _ = smooth_fastq(sub)
+        parts.append(format_fastq(out))
+    assert fq == b"".join(parts)
+
+
+def test_pipeline_block_mode_paired(workdir):
+    """Paired block mode interleaves each block's mate-2 share into the block
+    (split_fastq_2 semantics, BFQzip_parallel.py:325-360) and re-splits the
+    merged output into _1/_2 at the recorded boundary."""
+    from bfqzip_tpu.engine import smooth_fastq
+    from bfqzip_tpu.io.fastq import ReadBatch, format_fastq, read_fastq
+
+    # mate files: halves of the example
+    batch = read_fastq(str(workdir / "reads.fastq"))
+    half = 50
+    for name, lo, hi in (("r1.fastq", 0, half), ("r2.fastq", half, 100)):
+        sub = ReadBatch(seqs=batch.seqs[lo:hi], quals=batch.quals[lo:hi],
+                        lengths=batch.lengths[lo:hi],
+                        headers=batch.headers[lo:hi] if batch.headers else None)
+        with open(workdir / name, "wb") as f:
+            f.write(format_fastq(sub, headers=sub.headers))
+
+    base = str(workdir / "paired_blocks")
+    run_pipeline(
+        [str(workdir / "r1.fastq"), str(workdir / "r2.fastq")],
+        PipelineConfig(mode=1), out_base=base, blocks=2,
+    )
+    # expected: block b holds f1[25b:25b+25] + f2[25b:25b+25]
+    parts = {1: [], 2: []}
+    for b in range(2):
+        idx = np.concatenate([np.arange(25 * b, 25 * b + 25),
+                              50 + np.arange(25 * b, 25 * b + 25)])
+        sub = ReadBatch(seqs=batch.seqs[idx], quals=batch.quals[idx],
+                        lengths=batch.lengths[idx])
+        out, _ = smooth_fastq(sub)
+        parts[1].append(ReadBatch(seqs=out.seqs[:25], quals=out.quals[:25],
+                                  lengths=out.lengths[:25]))
+        parts[2].append(ReadBatch(seqs=out.seqs[25:], quals=out.quals[25:],
+                                  lengths=out.lengths[25:]))
+
+    for m in (1, 2):
+        want = b"".join(format_fastq(p) for p in parts[m])
+        got = open(f"{base}_{m}.fq", "rb").read()
+        assert got == want, f"mate {m} mismatch"
 
 
 def test_pipeline_block_mode_uneven(workdir):
