@@ -79,6 +79,30 @@ def main():
         best = dt if best is None else min(best, dt)
 
     bases_per_sec = total_bases / best
+
+    # per-stage breakdown (same data, stages timed separately)
+    import jax
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.ops.invert import invert_via_sa
+    from bfqzip_tpu.ops.smooth import smooth
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    sj, qj, lj = jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths)
+    jb = jax.jit(build_ebwt)
+    jsm = jax.jit(lambda e: smooth(e, cfg, pre=e.pre))
+    n_r, w_r = seqs.shape
+    jin = jax.jit(
+        lambda e, o: invert_via_sa(e.sa, e.bwt, o.bwt_sub, o.qs, e.n, n_r, w_r)
+    )
+    stages = {}
+    ebwt = jax.block_until_ready(jb(sj, qj, lj))
+    t = time.time(); ebwt = jax.block_until_ready(jb(sj, qj, lj)); stages["build_ms"] = round((time.time() - t) * 1e3, 1)
+    out = jax.block_until_ready(jsm(ebwt))
+    t = time.time(); out = jax.block_until_ready(jsm(ebwt)); stages["smooth_ms"] = round((time.time() - t) * 1e3, 1)
+    inv2 = jax.block_until_ready(jin(ebwt, out))
+    t = time.time(); inv2 = jax.block_until_ready(jin(ebwt, out)); stages["invert_ms"] = round((time.time() - t) * 1e3, 1)
+
     print(
         json.dumps(
             {
@@ -86,6 +110,9 @@ def main():
                 "value": round(bases_per_sec, 1),
                 "unit": "bases/s",
                 "vs_baseline": round(bases_per_sec / REF_BASES_PER_SEC, 3),
+                "reads": args.reads,
+                "read_len": args.read_len,
+                "stages": stages,
             }
         )
     )

@@ -59,11 +59,12 @@ import jax.numpy as jnp
 
 from bfqzip_tpu import alphabet
 
-PACK = 10  # symbols per packed word (3 bits each, 30 bits used)
+PACK = 10  # symbols per packed word (3 bits each, 30 bits used; doubling path)
 PACK_WORDS = 3  # words in the doubling-path round-0 key: span = PACK * PACK_WORDS
 SPAN0 = PACK * PACK_WORDS
 _EXT = SPAN0 + PACK  # row extension so every packed word is in-row
-MAX_FLAT_WORDS = 32  # flat path covers reads up to PACK*MAX_FLAT_WORDS-1 bp
+PACK6 = 12  # flat-path symbols per packed u32 word (base-6 digits: 6^12 < 2^32)
+MAX_FLAT_WORDS = 27  # flat path covers reads up to PACK6*MAX_FLAT_WORDS-2 bp
 
 
 class EbwtDevice(NamedTuple):
@@ -125,7 +126,7 @@ def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDev
     (PAD_CODE bases, zero quality).  Dispatches on read width: one flat
     whole-window sort for short reads, prefix doubling beyond that.
     """
-    if seqs.shape[1] + 1 <= PACK * MAX_FLAT_WORDS:
+    if seqs.shape[1] + 1 <= PACK6 * MAX_FLAT_WORDS:
         return _build_ebwt_flat(seqs, quals, lengths)
     return _build_ebwt_doubling(seqs, quals, lengths)
 
@@ -133,10 +134,15 @@ def build_ebwt(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDev
 def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> EbwtDevice:
     """One variadic sort over whole-window packed keys; no random gathers.
 
-    Key layout per suffix g = r*(L+1) + k (see module docstring): W packed
-    words covering symbols k..k+wp-1, the read index in the last word's free
-    low bits; payloads carry the suffix position and the two preceding text
-    symbols + preceding quality, so BWT/QS/pre come out of the sort directly.
+    Key layout per suffix g = r*(L+1) + k (see module docstring): W base-6
+    u32 words covering symbols k..k+wp-1 (12 symbols per word — measured on
+    v5e, sort cost scales with operand+key count, so base-6 beats the round-1
+    3-bit packing by two words at 101bp), then the suffix position as the
+    final tie-break key: equal window content implies equal distance to the
+    terminator, so position order equals read order (the distinct-terminator
+    convention) — and the position key doubles as the SA payload.  The one
+    payload word carries the two preceding text symbols + preceding quality,
+    so BWT/QS/pre come out of the sort directly.
     """
     n_reads, width = seqs.shape
     wp = width + 1
@@ -149,33 +155,33 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     n = (jnp.sum(jnp.maximum(lens, 0), dtype=jnp.int32)
          + jnp.sum(real_read.astype(jnp.int32), dtype=jnp.int32)).astype(jnp.int32)
 
-    n_words = max(2, -(-wp // PACK))  # >= 2 so padding rows have a unique word 1
-    used_last = max(0, wp - PACK * (n_words - 1))
-    free_bits = 3 * (PACK - used_last)
-    if n_reads + 2 > (1 << free_bits):
-        n_words += 1  # extra pure-tie-break word for huge batches
-        used_last = 0
-        free_bits = 30
+    n_words = max(2, -(-wp // PACK6))  # >= 2 so padding rows have a unique word 1
 
-    # symbol windows, extended so every packed word reads in-row
-    ext = PACK * n_words
+    # symbol windows (digits 0..5: terminator/pad 0 < bases 1..5), extended so
+    # every packed word reads in-row
+    ext = PACK6 * n_words
     k = jnp.arange(wp + ext, dtype=jnp.int32)[None, :]
-    base = jnp.pad(seqs, ((0, 0), (0, 1 + ext))).astype(jnp.uint8) + 1
-    wcodes = jnp.where(k < lens[:, None], base, jnp.uint8(0))
+    base6 = jnp.pad(seqs, ((0, 0), (0, 1 + ext))).astype(jnp.uint8)
+    wcodes = jnp.where(k < lens[:, None], base6, jnp.uint8(0))
 
-    words = [_pack_word(wcodes, wp, w).reshape(-1) for w in range(n_words)]
+    def pack6(word):
+        o = PACK6 * word
+        acc = jnp.zeros((n_reads, wp), jnp.uint32)
+        for t in range(PACK6):
+            acc = acc * jnp.uint32(6) + wcodes[:, o + t : o + t + wp].astype(jnp.uint32)
+        return acc.reshape(-1)
+
+    words = [pack6(w) for w in range(n_words)]
 
     kk = jnp.arange(wp, dtype=jnp.int32)[None, :]
-    rid = jnp.arange(n_reads, dtype=jnp.int32)[:, None]
     is_pad = (kk > lens[:, None]).reshape(-1)
-    g2 = (rid * wp + kk).reshape(-1)
-    # read index in the last word's free bits (distinct-terminator ordering);
-    # padding: first word forced above every real key, second word unique
-    words[-1] = words[-1] | jnp.broadcast_to(rid + 1, (n_reads, wp)).reshape(-1)
-    words[0] = jnp.where(is_pad, jnp.int32(1) << 30, words[0])
-    words[1] = jnp.where(is_pad, g2, words[1])
+    g2 = (jnp.arange(n_reads, dtype=jnp.int32)[:, None] * wp + kk).reshape(-1)
+    # padding rows: first word forced above every real key (real words are
+    # < 6^12 < 0xF0000000), second word unique
+    words[0] = jnp.where(is_pad, jnp.uint32(0xF0000000), words[0])
+    words[1] = jnp.where(is_pad, g2.astype(jnp.uint32), words[1])
 
-    # payloads: suffix position; packed (prev symbol, prev quality, prev^2 symbol)
+    # payload: packed (prev symbol, prev quality, prev^2 symbol)
     text_codes = jnp.where(
         (kk < lens[:, None]), jnp.pad(seqs, ((0, 0), (0, 1))).astype(jnp.uint8) + 1, jnp.uint8(0)
     )
@@ -184,7 +190,7 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     p1 = jnp.roll(tflat, 1).astype(jnp.int32)
     aux = p1 | (jnp.roll(qtext, 1).astype(jnp.int32) << 3) | (jnp.roll(tflat, 2).astype(jnp.int32) << 11)
 
-    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words)
+    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words + 1)
     skeys, sa, saux = sorted_ops[:n_words], sorted_ops[-2], sorted_ops[-1]
 
     # ---- BWT / permuted qualities / smoother predecessors from the payload ----
@@ -199,20 +205,19 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     bwt = jnp.where(valid, bwt, PAD_CODE)
     qs = jnp.where(valid, qs, jnp.uint8(0))
 
-    # ---- LCP: leading equal 3-bit groups of consecutive sorted rows ----
+    # ---- LCP: leading equal nonzero base-6 digits of consecutive sorted rows ----
     lcp = jnp.zeros((n_pad,), jnp.int32)
     eq = jnp.ones((n_pad,), bool)
-    nz = jnp.ones((n_pad,), bool)  # no terminator group seen yet
+    nz = jnp.ones((n_pad,), bool)  # no terminator digit seen yet
     for w in range(n_words):
-        groups = used_last if w == n_words - 1 else PACK
-        if groups == 0:
-            continue
         bw = skeys[w]
-        aw = jnp.concatenate([jnp.zeros((1,), jnp.int32), bw[:-1]])
-        for t in range(groups):
-            sh = 3 * (PACK - 1 - t)
-            eq = eq & ((aw >> sh) == (bw >> sh))
-            nz = nz & (((aw >> sh) & 7) != 0)
+        aw = jnp.concatenate([jnp.zeros((1,), jnp.uint32), bw[:-1]])
+        for t in range(PACK6):
+            div = jnp.uint32(6 ** (PACK6 - 1 - t))
+            da = (aw // div) % jnp.uint32(6)
+            db = (bw // div) % jnp.uint32(6)
+            eq = eq & (da == db)
+            nz = nz & (da != 0)
             lcp = lcp + (eq & nz).astype(jnp.int32)
     lcp = jnp.where(valid, lcp, 0).at[0].set(0)
 
