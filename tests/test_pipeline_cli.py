@@ -94,6 +94,35 @@ def test_pipeline_ext_mem_matches_in_core(workdir):
     assert open(base2 + ".fq", "rb").read() == open(base1 + ".fq", "rb").read()
 
 
+def test_pipeline_ppmd_bsc_backends_invoked(workdir, monkeypatch):
+    """The 7z-PPMd / bsc passthrough backends (BFQzip.py:253-275) invoke the
+    external binaries with the reference's exact CLI shape — exercised here
+    with stub executables since the real binaries are not in this image."""
+    from bfqzip_tpu import pipeline as pl
+
+    stub7z = workdir / "7z"
+    stub7z.write_text("#!/bin/sh\n# args: a -mm=PPMd OUT IN\ncp \"$4\" \"$3\"\n")
+    stubbsc = workdir / "bsc"
+    stubbsc.write_text("#!/bin/sh\n# args: e IN OUT -T\ncp \"$2\" \"$3\"\n")
+    for s in (stub7z, stubbsc):
+        s.chmod(0o755)
+    monkeypatch.setattr(pl, "ZIP7", str(stub7z))
+    monkeypatch.setattr(pl, "BSC", str(stubbsc))
+
+    base = str(workdir / "multi")
+    res = run_pipeline(
+        [str(workdir / "reads.fastq")],
+        PipelineConfig(mode=2, codecs=("rans", "ppmd", "bsc")),
+        out_base=base,
+    )
+    assert set(res.outputs) == {"rans", "ppmd", "bsc"}
+    for codec, ext in (("ppmd", ".7z"), ("bsc", ".bsc")):
+        assert res.outputs[codec] == [base + ".fq.dna" + ext, base + ".fq.qs" + ext]
+        for f in res.outputs[codec]:
+            assert os.path.getsize(f) > 0
+    assert "ppmd_ratio" in res.report and "bsc_ratio" in res.report
+
+
 def test_pipeline_artifacts_feed_reference_format(workdir):
     """The .bwt artifact uses the reference's ASCII alphabet."""
     base = str(workdir / "out")
