@@ -18,12 +18,34 @@ _LIB = None
 _SEARCHED = False
 
 
+def _autobuild(native_dir: str) -> None:
+    """Build the shared library in-place on first import if the toolchain is
+    available (fresh checkouts: make -C native).  Failures are silent — every
+    entry point has a numpy fallback."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _find_lib():
     global _LIB, _SEARCHED
     if _SEARCHED:
         return _LIB
     _SEARCHED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    native_dir = os.path.join(here, "native")
+    if not os.path.exists(os.path.join(native_dir, "libbfqnative.so")) and os.path.exists(
+        os.path.join(native_dir, "Makefile")
+    ):
+        _autobuild(native_dir)
     for cand in (
         os.path.join(here, "native", "libbfqnative.so"),
         os.path.join(os.path.dirname(__file__), "libbfqnative.so"),
