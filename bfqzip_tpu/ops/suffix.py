@@ -24,10 +24,11 @@ of one extra sort operand at 20M elements, measured on v5e), so the flat path
 issues NONE: the ENTIRE suffix window (L+1 symbols) is packed into
 ceil((L+1)/10) 30-bit key words (3 bits per symbol: terminator->0 < bases
 1..6; symbols after the terminator zeroed) and suffix order is ONE variadic
-XLA sort.  The read index rides in the free low bits of the last key word
-(prefix-equal suffixes of different reads order by read index — gsufsort's
-distinct-terminator convention), padding rows get a forced max first word and
-a unique second word so they sort after all real suffixes deterministically.
+XLA sort.  Prefix-equal suffixes of different reads must order by read index
+(gsufsort's distinct-terminator convention) — sort stability delivers that
+for free, since equal window content implies position order = read order;
+padding rows get a forced max first word so they sort after all real
+suffixes, in deterministic position order.
 Everything downstream needs only *data at SA order*, so it is carried through
 the sort as payloads instead of gathered afterwards: the suffix position
 (-> SA), and one packed word holding the two preceding text symbols (-> BWT,
@@ -137,12 +138,14 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     Key layout per suffix g = r*(L+1) + k (see module docstring): W base-6
     u32 words covering symbols k..k+wp-1 (12 symbols per word — measured on
     v5e, sort cost scales with operand+key count, so base-6 beats the round-1
-    3-bit packing by two words at 101bp), then the suffix position as the
-    final tie-break key: equal window content implies equal distance to the
-    terminator, so position order equals read order (the distinct-terminator
-    convention) — and the position key doubles as the SA payload.  The one
-    payload word carries the two preceding text symbols + preceding quality,
-    so BWT/QS/pre come out of the sort directly.
+    3-bit packing by two words at 101bp).  Equal window content implies equal
+    distance to the terminator, so among fully tied suffixes position order
+    equals read order (the distinct-terminator convention); XLA's sort is
+    stable, which realises that order with NO tie-break key — the suffix
+    position rides as a payload (doubling as the SA) and the comparator stays
+    at the 9 content words.  The second payload word carries the two
+    preceding text symbols + preceding quality, so BWT/QS/pre come out of
+    the sort directly.
     """
     n_reads, width = seqs.shape
     wp = width + 1
@@ -155,7 +158,7 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     n = (jnp.sum(jnp.maximum(lens, 0), dtype=jnp.int32)
          + jnp.sum(real_read.astype(jnp.int32), dtype=jnp.int32)).astype(jnp.int32)
 
-    n_words = max(2, -(-wp // PACK6))  # >= 2 so padding rows have a unique word 1
+    n_words = -(-wp // PACK6)
 
     # symbol windows (digits 0..5: terminator/pad 0 < bases 1..5), extended so
     # every packed word reads in-row
@@ -175,11 +178,9 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
 
     kk = jnp.arange(wp, dtype=jnp.int32)[None, :]
     is_pad = (kk > lens[:, None]).reshape(-1)
-    g2 = (jnp.arange(n_reads, dtype=jnp.int32)[:, None] * wp + kk).reshape(-1)
     # padding rows: first word forced above every real key (real words are
-    # < 6^12 < 0xF0000000), second word unique
+    # < 6^12 < 0xF0000000); stability (below) keeps them in position order
     words[0] = jnp.where(is_pad, jnp.uint32(0xF0000000), words[0])
-    words[1] = jnp.where(is_pad, g2.astype(jnp.uint32), words[1])
 
     # payload: packed (prev symbol, prev quality, prev^2 symbol)
     text_codes = jnp.where(
@@ -190,7 +191,12 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     p1 = jnp.roll(tflat, 1).astype(jnp.int32)
     aux = p1 | (jnp.roll(qtext, 1).astype(jnp.int32) << 3) | (jnp.roll(tflat, 2).astype(jnp.int32) << 11)
 
-    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words + 1)
+    # num_keys excludes the suffix position: jax.lax.sort is stable, and for
+    # fully equal windows (content implies equal distance-to-terminator)
+    # position order g = r*wp + k IS read-index order — gsufsort's
+    # distinct-terminator convention — so stability replaces the tie-break
+    # key, shrinking the comparator from 10 to 9 words at 101bp.
+    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words)
     skeys, sa, saux = sorted_ops[:n_words], sorted_ops[-2], sorted_ops[-1]
 
     # ---- BWT / permuted qualities / smoother predecessors from the payload ----
