@@ -10,10 +10,11 @@ clustering/smoothing path does real substitution work; uniform-random DNA
 yields almost no LCP>=16 clusters and under-stresses the pipeline.
 
 vs_baseline compares against the reference implementation measured on this
-machine (BASELINE.md): bfq_int (compiled from the reference sources, M=2 B=0,
-`-m 5`) processes a 100K x 101bp realistic dataset at 2.39 Mbases/s — and
-that covers only its steps 2-5 (load+index, cluster detect, smooth, invert);
-the reference's step-1 gsufsort EBWT construction is NOT included because its
+machine (BASELINE.md "Measured" table): bfq_int (compiled from the reference
+sources, M=2 B=0, `-m 5`) processes the SAME default workload as this script
+(200K x 101bp realistic reads) in 9.56 s = 2.114 Mbases/s — and that covers
+only its steps 2-5 (load+index, cluster detect, smooth, invert); the
+reference's step-1 gsufsort EBWT construction is NOT included because its
 submodule is not vendored.  Our number covers the FULL pipeline including
 EBWT+LCP construction, so vs_baseline understates the true speedup.
 """
@@ -25,8 +26,8 @@ import sys
 import time
 
 # measured on this machine (BASELINE.md): reference bfq_int steps 2-5 on the
-# realistic 100K workload
-REF_BASES_PER_SEC = 2.39e6
+# same 200K x 101bp realistic workload this script runs by default
+REF_BASES_PER_SEC = 2.114e6
 
 
 def main():

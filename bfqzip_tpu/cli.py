@@ -29,6 +29,10 @@ def build_parser():
                    help="smoothing strategy: 0=max 1=mean-error 2=constant 3=avg (default 2)")
     p.add_argument("-B", "--binning", action="store_true", help="Illumina 8-level binning")
     p.add_argument("-m", "--min-cluster", type=int, default=5, help="minimum cluster size (default 5)")
+    p.add_argument("--qs-threshold", type=int, default=20, metavar="Q",
+                   help="quality threshold for trusted bases (reference bfq_int -t, default 20)")
+    p.add_argument("--freq-threshold", type=float, default=40.0, metavar="PCT",
+                   help="frequent-base percentage threshold (reference bfq_int -f, default 40)")
     p.add_argument("--rebuild", action="store_true", help="force step 1 (ignore cached artifacts)")
     p.add_argument("--original", action="store_true", help="skip smoothing (compress input as-is)")
     p.add_argument("-1", "--m1", action="store_true", help="mode 1: whole FASTQ stream")
@@ -106,6 +110,8 @@ def main(argv=None) -> int:
         min_cluster=args.min_cluster,
         mode=args.smooth_mode,
         default_qs=ord(args.rv) if args.rv else ord(">"),
+        quality_threshold=args.qs_threshold,
+        freq_threshold=args.freq_threshold,
         binning=args.binning,
     )
     cfg = PipelineConfig(

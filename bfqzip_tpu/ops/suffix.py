@@ -22,9 +22,9 @@ Sort — flat path (reads up to ~300bp, the production case)
 Random gathers and scatters are the expensive primitives on TPU (~8x the cost
 of one extra sort operand at 20M elements, measured on v5e), so the flat path
 issues NONE: the ENTIRE suffix window (L+1 symbols) is packed into
-ceil((L+1)/10) 30-bit key words (3 bits per symbol: terminator->0 < bases
-1..6; symbols after the terminator zeroed) and suffix order is ONE variadic
-XLA sort.  Prefix-equal suffixes of different reads must order by read index
+ceil((L+1)/PACK6) base-6 u32 key words (PACK6 = 12 digits per word,
+6^12 < 2^32; terminator/padding -> digit 0 < bases 1..5; symbols after the
+terminator zeroed) and suffix order is ONE variadic XLA sort.  Prefix-equal suffixes of different reads must order by read index
 (gsufsort's distinct-terminator convention) — sort stability delivers that
 for free, since equal window content implies position order = read order;
 padding rows get a forced max first word so they sort after all real
@@ -196,7 +196,9 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     # position order g = r*wp + k IS read-index order — gsufsort's
     # distinct-terminator convention — so stability replaces the tie-break
     # key, shrinking the comparator from 10 to 9 words at 101bp.
-    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words)
+    # is_stable=True is LOAD-BEARING: it realises the read-index tie-break and
+    # the deterministic padding placement (see docstring above) with no key.
+    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words, is_stable=True)
     skeys, sa, saux = sorted_ops[:n_words], sorted_ops[-2], sorted_ops[-1]
 
     # ---- BWT / permuted qualities / smoother predecessors from the payload ----
@@ -256,7 +258,8 @@ def _build_ebwt_doubling(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) 
     w0 = jnp.where(is_pad, jnp.int32(2**30), words[0])
 
     # round 0: one sort by the 30-symbol packed key + tie-break
-    sorted_ops = jax.lax.sort((w0, *words[1:], tb, idx0), num_keys=PACK_WORDS + 1)
+    sorted_ops = jax.lax.sort((w0, *words[1:], tb, idx0), num_keys=PACK_WORDS + 1,
+                              is_stable=True)
     sa = sorted_ops[-1]
     keys = sorted_ops[:-1]
     eq = jnp.ones((n_pad,), bool)

@@ -273,14 +273,23 @@ def run_pipeline(
         log.info("checkFASTQ: valid")
 
     paired_split = batches[0].num_reads if len(batches) > 1 else None
-    batch = batches[0] if len(batches) == 1 else _concat(batches)
 
     # ---- optional reorder (BFQzip.py:277-292 / randomFASTQ.py) ----
+    # Paired mode follows the reference contract (randomFASTQ.py:52-102): ONE
+    # permutation, computed on file 1, applied to BOTH mate files before the
+    # concat — so record i of _1.fq stays mated with record i of _2.fq after
+    # the paired re-split in _finish_pipeline.
     if reorder:
         from bfqzip_tpu.utils.reorder import reorder_batch
 
         with log.step(f"reorder mode {reorder}"):
-            batch = reorder_batch(batch, mode=reorder)
+            if len(batches) > 1:
+                b1, b2 = reorder_batch(batches[0], mode=reorder, mate=batches[1])
+                batches = [b1, b2]
+            else:
+                batches = [reorder_batch(batches[0], mode=reorder)]
+
+    batch = batches[0] if len(batches) == 1 else _concat(batches)
 
     # ---- out-of-core mode (BFQzip_ext.py surface): chunked device sorts +
     # native host merge + streaming smoothing under a device-memory budget ----

@@ -42,24 +42,30 @@ def _find_lib():
     _SEARCHED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     native_dir = os.path.join(here, "native")
-    if not os.path.exists(os.path.join(native_dir, "libbfqnative.so")) and os.path.exists(
+    candidates = (
+        os.path.join(native_dir, "libbfqnative.so"),
+        os.path.join(os.path.dirname(__file__), "libbfqnative.so"),
+    )
+    if not any(os.path.exists(c) for c in candidates) and os.path.exists(
         os.path.join(native_dir, "Makefile")
     ):
         _autobuild(native_dir)
-    for cand in (
-        os.path.join(here, "native", "libbfqnative.so"),
-        os.path.join(os.path.dirname(__file__), "libbfqnative.so"),
-    ):
+    for cand in candidates:
         if os.path.exists(cand):
-            lib = ctypes.CDLL(cand)
-            lib.fastq_scan.restype = ctypes.c_int
-            lib.fastq_fill.restype = ctypes.c_int
-            lib.fastq_format.restype = ctypes.c_int64
-            lib.rans_encode.restype = ctypes.c_int64
-            lib.rans_decode.restype = ctypes.c_int64
-            for sym in ("cm_encode", "cm_decode", "ext_merge"):
-                if hasattr(lib, sym):
-                    getattr(lib, sym).restype = ctypes.c_int64
+            # A corrupt/stale .so (failed link, ABI mismatch) must degrade to
+            # the numpy path, not crash the import.
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.fastq_scan.restype = ctypes.c_int
+                lib.fastq_fill.restype = ctypes.c_int
+                lib.fastq_format.restype = ctypes.c_int64
+                lib.rans_encode.restype = ctypes.c_int64
+                lib.rans_decode.restype = ctypes.c_int64
+                for sym in ("cm_encode", "cm_decode", "ext_merge"):
+                    if hasattr(lib, sym):
+                        getattr(lib, sym).restype = ctypes.c_int64
+            except (OSError, AttributeError):
+                continue
             _LIB = lib
             break
     return _LIB

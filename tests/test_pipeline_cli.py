@@ -255,6 +255,38 @@ def test_reorder_modes(workdir):
         assert sorted(map(bytes, out.seqs)) == sorted(map(bytes, batch.seqs))
 
 
+def test_reorder_paired_keeps_mates_aligned(workdir):
+    """--reorder in paired mode must apply ONE permutation to both mate files
+    (randomFASTQ.py:52-102): after the paired re-split, record i of _1.fq is
+    still the mate of record i of _2.fq.  Tracked via headers."""
+    from bfqzip_tpu.io.fastq import ReadBatch, format_fastq, read_fastq
+
+    batch = read_fastq(str(workdir / "reads.fastq"))
+    half = 50
+    for name, lo, hi, tag in (("r1.fastq", 0, half, b"a"), ("r2.fastq", half, 100, b"b")):
+        sub = ReadBatch(seqs=batch.seqs[lo:hi], quals=batch.quals[lo:hi],
+                        lengths=batch.lengths[lo:hi],
+                        headers=[b"@" + tag + b"_%d" % i for i in range(hi - lo)])
+        with open(workdir / name, "wb") as f:
+            f.write(format_fastq(sub, headers=sub.headers))
+
+    for mode in (1, 2):
+        base = str(workdir / f"paired_reorder{mode}")
+        run_pipeline(
+            [str(workdir / "r1.fastq"), str(workdir / "r2.fastq")],
+            PipelineConfig(mode=3), out_base=base, reorder=mode,
+        )
+        h1 = open(base + "_1.fq", "rb").read().split(b"\n")[0::4]
+        h2 = open(base + "_2.fq", "rb").read().split(b"\n")[0::4]
+        h1 = [h for h in h1 if h]
+        h2 = [h for h in h2 if h]
+        assert len(h1) == len(h2) == half
+        if mode == 1:
+            assert h1 != [b"@a_%d" % i for i in range(half)], "reorder was a no-op"
+        for a, b in zip(h1, h2):
+            assert a.split(b"_")[1] == b.split(b"_")[1], f"mates scrambled: {a} vs {b}"
+
+
 def test_checkfastq(workdir):
     from bfqzip_tpu.utils.checkfastq import check_fastq
 
