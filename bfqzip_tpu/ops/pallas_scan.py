@@ -1,0 +1,171 @@
+"""Pallas TPU kernels for segmented scans — the smoothing stage's hot loop.
+
+The XLA lowering of a multi-million-element cumsum/cummax is a log-n
+reduce-window cascade (~26 ms per scan at 5M elements measured on v5e,
+tools/microbench_sort.py); ops/smooth.py issues several per batch, making the
+smooth stage ~80 ms at 20M positions.  On TPU the Pallas grid executes
+SEQUENTIALLY on a core, so a scan is ONE bandwidth-bound pass: each grid step
+scans its [C, R, 128] block in VMEM (Hillis-Steele along lanes, then a
+tail-broadcast scan across sublane rows) and threads the running carry
+through a VMEM scratch that persists across grid steps.  Segmented
+("restart at flag") semantics use the standard flag-carry trick: positions
+before a block's first flag receive the incoming carry, the rest are local.
+
+This replaces the reference's sequential per-cluster accumulator walk
+(bfq_int.cpp:636-737) at memory speed; the generic XLA path in ops/scan.py
+remains for CPU tests, f64 scans (mode-1 smoothing), and the sharded path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _block_rows(C: int) -> int:
+    """Rows per grid step: amortise the ~90us/step overhead measured on v5e
+    with the largest block that keeps pipelined buffers within ~12MB VMEM
+    ((2C+1) buffers x rows x 128 x 4B x 2 for double buffering)."""
+    budget = 10 * 1024 * 1024 // ((2 * C + 2) * _LANES * 4 * 2)
+    rows = 512
+    while rows * 2 <= budget:
+        rows *= 2
+    return rows
+
+_OPS = {
+    "add": (jnp.add, 0),
+    "max": (jnp.maximum, jnp.iinfo(jnp.int32).min),
+    "or": (jnp.bitwise_or, 0),
+    "keepleft": (lambda a, b: a, 0),
+}
+
+
+def _block_seg_scan(v, f, combine, init, rows: int):
+    """Inclusive segmented scan of a [C, R, 128] block in row-major order.
+
+    f: [1, R, 128] i32 flags (nonzero restarts).  Returns (scanned, f_scan)
+    where f_scan[i] != 0 iff some flag occurs at <= i within the block.
+    NB: negative slice indices lower to dynamic_slice (unsupported by Mosaic)
+    — every slice below uses explicit positive bounds.
+    """
+
+    def lshift(a, d, fill):  # [..., L] -> shifted right by d along lanes
+        head = jnp.full(a.shape[:-1] + (d,), fill, a.dtype)
+        return jnp.concatenate([head, a[:, :, : _LANES - d]], axis=-1)
+
+    for s in range(7):  # lanes: log2(128) Hillis-Steele steps
+        d = 1 << s
+        vs = lshift(v, d, init)
+        fs = lshift(f, d, 0)
+        v = jnp.where(f > 0, v, combine(vs, v))
+        f = f | fs
+
+    def tails(a):  # broadcast each row's lane-127 value across its lanes
+        # (Mosaic cannot concat the offset-127 (C,R,1) slice directly)
+        t = a[:, :, _LANES - 1 : _LANES]
+        return jnp.broadcast_to(t, a.shape[:2] + (_LANES,))
+
+    def rshift(a, d, fill):  # shift rows down by d
+        head = jnp.full((a.shape[0], d, _LANES), fill, a.dtype)
+        return jnp.concatenate([head, a[:, : rows - d, :]], axis=1)
+
+    steps = max(rows - 1, 0).bit_length()
+    for s in range(steps):  # rows: combine with the tail of row r - 2^s
+        d = 1 << s
+        vs = rshift(tails(v), d, init)
+        fs = rshift(tails(f), d, 0)
+        v = jnp.where(f > 0, v, combine(vs, v))
+        f = f | fs
+    return v, f, tails
+
+
+def _seg_scan_kernel(x_ref, f_ref, o_ref, carry, *, op: str, rows: int):
+    combine, init = _OPS[op]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry[...] = jnp.full_like(carry, init)
+
+    v, fsc, tails = _block_seg_scan(x_ref[...], f_ref[...], combine, init, rows)
+    # positions before the block's first flag continue the incoming segment
+    c = carry[...].reshape(carry.shape[0], 1, 1)
+    v = jnp.where(fsc > 0, v, combine(c, v))
+    o_ref[...] = v
+    # block tail = lane-0 slice of the broadcast row tails (offset-0 layout;
+    # a direct lane-127 slice write trips Mosaic's offset rules)
+    carry[...] = tails(v)[:, rows - 1 : rows, 0:1].reshape(carry.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def seg_scan_1p(x: jax.Array, reset: jax.Array, op: str = "add") -> jax.Array:
+    """Inclusive segmented i32 scan over [n] or [C, n]; `reset[i]` restarts
+    the running value AT i.  One sequential-grid Pallas pass."""
+    chanfirst = x.ndim == 2
+    x2 = x if chanfirst else x[None, :]
+    C, n0 = x2.shape
+    _, init = _OPS[op]
+
+    rows = _block_rows(C)
+    block = rows * _LANES
+    pad = (-n0) % block
+    if pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, pad)), constant_values=init)
+        reset = jnp.concatenate([reset, jnp.ones((pad,), reset.dtype)])
+    n = n0 + pad
+    nb = n // _LANES
+    x3 = x2.astype(jnp.int32).reshape(C, nb, _LANES)
+    f3 = reset.astype(jnp.int32).reshape(1, nb, _LANES)
+
+    out = pl.pallas_call(
+        functools.partial(_seg_scan_kernel, op=op, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((C, nb, _LANES), jnp.int32),
+        grid=(nb // rows,),
+        in_specs=[
+            pl.BlockSpec((C, rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, 1), jnp.int32)],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # the carry scratch makes grid steps order-dependent
+            dimension_semantics=("arbitrary",),
+        ),
+    )(x3, f3)
+    out = out.reshape(C, n)[:, :n0]
+    return out if chanfirst else out[0]
+
+
+# interpret mode lets CPU tests exercise the kernel logic on small inputs
+_INTERPRET = bool(int(os.environ.get("BFQ_PALLAS_INTERPRET", "0")))
+# BFQ_PALLAS=1 opts into the Pallas scans.  Default OFF: on the axon tunnel
+# platform a pure-copy Pallas kernel measures ~8 GB/s effective (~0.5 ms per
+# grid step regardless of block size, /tmp cost study 2026-08-21), so XLA's
+# fused scan networks win the smooth stage there (80.1 ms vs 98.4 ms at 20.4M
+# positions).  On TPU hosts without that per-step overhead these kernels are
+# bandwidth-bound single passes (isolated: 35 ms vs 167 ms for a [5,n]
+# segmented cumsum at 20.4M) — flip on and re-measure per platform.
+_ENABLED = bool(int(os.environ.get("BFQ_PALLAS", "0")))
+
+_MIN_N = 1 << 18  # below this the XLA path wins (compile + pad overhead)
+
+
+def available(n: int | None = None) -> bool:
+    """True when the Pallas path should be used for arrays of size n."""
+    if _INTERPRET:
+        return True
+    if not _ENABLED:
+        return False
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return n is None or n >= _MIN_N

@@ -147,19 +147,48 @@ class LocalScanOps:
         """out[i] = x[i+k] (global); the last k slots get fill."""
         return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
 
+    def _pallas(self, x) -> bool:
+        from bfqzip_tpu.ops import pallas_scan
+
+        return x.dtype == jnp.int32 and pallas_scan.available(x.shape[-1])
+
     def cummax(self, x: jax.Array) -> jax.Array:
+        if self._pallas(x):
+            from bfqzip_tpu.ops import pallas_scan
+
+            return pallas_scan.seg_scan_1p(x, jnp.zeros(x.shape[-1], jnp.int32), "max")
         return jax.lax.cummax(x)
 
     def seg_scan(self, x: jax.Array, flag: jax.Array, combine, init) -> jax.Array:
         return _seg_scan(x, flag, combine, init)
 
     def seg_cumsum(self, x: jax.Array, reset: jax.Array) -> jax.Array:
+        if self._pallas(x):
+            from bfqzip_tpu.ops import pallas_scan
+
+            return pallas_scan.seg_scan_1p(x, reset, "add")
         return self.seg_scan(x, reset, jnp.add, 0)
 
+    def seg_cummax(self, x: jax.Array, reset: jax.Array) -> jax.Array:
+        """Segmented max for non-negative x (identity 0)."""
+        if self._pallas(x):
+            from bfqzip_tpu.ops import pallas_scan
+
+            return jnp.maximum(pallas_scan.seg_scan_1p(x, reset, "max"), 0)
+        return self.seg_scan(x, reset, jnp.maximum, 0)
+
     def seg_cumor(self, x: jax.Array, reset: jax.Array) -> jax.Array:
+        if self._pallas(x):
+            from bfqzip_tpu.ops import pallas_scan
+
+            return pallas_scan.seg_scan_1p(x, reset, "or")
         return self.seg_scan(x, reset, jnp.bitwise_or, 0)
 
     def next_marked(self, x: jax.Array, mark: jax.Array, init=0) -> jax.Array:
+        if init == 0 and self._pallas(x):
+            from bfqzip_tpu.ops import pallas_scan
+
+            return pallas_scan.seg_scan_1p(x[::-1], mark[::-1], "keepleft")[::-1]
         return next_marked(x, mark, init)
 
     def sum(self, x: jax.Array) -> jax.Array:

@@ -166,19 +166,13 @@ def cluster_words(bwt, qs, lcp, n, cfg: SmoothConfig, pre, ops) -> tuple:
     if cfg.mode == 2:
         c_newqs = jnp.full((n_pad,), cfg.default_qs, jnp.int32)
     elif cfg.mode == 0:
-        c_newqs = ops.seg_scan(
-            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
-            open_mark,
-            jnp.maximum,
-            0,
+        c_newqs = ops.seg_cummax(
+            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0), open_mark
         )
     elif cfg.mode == 3:
         # segment-local i32 sums (no global cumsum: avoids overflow at scale)
-        qsum = ops.seg_scan(
-            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0),
-            open_mark,
-            jnp.add,
-            0,
+        qsum = ops.seg_cumsum(
+            jnp.where(mask_i & nonterm_pos, qs.astype(jnp.int32), 0), open_mark
         )
         c_newqs = qsum // safe_basenum
     else:  # mode 1: mean error in the reference's double precision when x64

@@ -92,6 +92,9 @@ class DistScanOps:
     def seg_cumsum(self, x, reset):
         return self.seg_scan(x, reset, jnp.add, 0)
 
+    def seg_cummax(self, x, reset):
+        return self.seg_scan(x, reset, jnp.maximum, 0)
+
     def seg_cumor(self, x, reset):
         return self.seg_scan(x, reset, jnp.bitwise_or, 0)
 

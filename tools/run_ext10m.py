@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Drive the out-of-core pipeline at scale on the real chip (BASELINE.md).
+
+Measures the config the reference serves with eGap's --mem budget
+(BFQzip_ext.py:172-177): N reads through chunked device sorts + native k-way
+merge + streaming smoothing, with bounded device memory.  Prints one JSON
+line with wall time, throughput, peak host RSS and output checks.
+"""
+
+import argparse
+import json
+import resource
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("fastq")
+    ap.add_argument("--mem-gb", type=float, default=4.0)
+    ap.add_argument("--out", default=None, help="optional smoothed FASTQ path")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import numpy as np
+
+    from bfqzip_tpu.external import smooth_fastq_external
+    from bfqzip_tpu.io.fastq import read_fastq, write_fastq
+
+    t0 = time.time()
+    batch = read_fastq(args.fastq, with_headers=False)
+    t_parse = time.time() - t0
+    total_bases = int(batch.lengths.sum())
+
+    t1 = time.time()
+    out, stats = smooth_fastq_external(batch, mem_bytes=int(args.mem_gb * (1 << 30)))
+    t_pipe = time.time() - t1
+
+    # sanity: same shapes/lengths, bases changed only where the smoother says
+    assert out.seqs.shape[0] == batch.seqs.shape[0]
+    assert np.array_equal(out.lengths, batch.lengths)
+    changed = int((out.seqs[:, : batch.seqs.shape[1]] != batch.seqs).sum())
+
+    if args.out:
+        write_fastq(args.out, out, headers=None)
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "extmem_bases_per_sec",
+                "value": round(total_bases / t_pipe, 1),
+                "unit": "bases/s",
+                "reads": int(batch.num_reads),
+                "total_bases": total_bases,
+                "parse_s": round(t_parse, 1),
+                "pipeline_s": round(t_pipe, 1),
+                "peak_host_rss_gb": round(peak_rss_gb, 1),
+                "bases_changed": changed,
+                "stats": {k: int(v) for k, v in stats.items()},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
