@@ -61,9 +61,14 @@ def _find_lib():
                 lib.fastq_format.restype = ctypes.c_int64
                 lib.rans_encode.restype = ctypes.c_int64
                 lib.rans_decode.restype = ctypes.c_int64
-                for sym in ("cm_encode", "cm_decode", "ext_merge"):
+                for sym in ("cm_encode", "cm_encode_blocked", "cm_decode", "ext_merge"):
                     if hasattr(lib, sym):
                         getattr(lib, sym).restype = ctypes.c_int64
+                if hasattr(lib, "cm_encode_blocked"):
+                    lib.cm_encode_blocked.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                    ]
             except (OSError, AttributeError):
                 continue
             _LIB = lib
@@ -149,15 +154,27 @@ def cm_available() -> bool:
     return lib is not None and hasattr(lib, "cm_encode")
 
 
-def cm_encode(data: bytes) -> Optional[bytes]:
-    """Adaptive context-model coder (native/cm_codec.cpp, magic BQZC)."""
+def cm_encode(data: bytes, block_size: int = 0, threads: int = 0) -> Optional[bytes]:
+    """Adaptive context-model coder (native/cm_codec.cpp, magic BQZC).
+
+    Emits the blocked v3 container (independent per-block models, encoded and
+    decoded on a thread pool — the bsc -T analog) when the library provides
+    it; block_size<=0 picks the 16M-symbol default, threads<=0 auto-detects
+    (BFQ_CM_THREADS overrides).  Falls back to the single-stream v2 entry
+    point with an older library."""
     lib = _find_lib()
     if lib is None or not hasattr(lib, "cm_encode"):
         return None
     buf = np.frombuffer(data, np.uint8)
     cap = len(data) + len(data) // 2 + (1 << 16)
     out = np.zeros(cap, np.uint8)
-    size = lib.cm_encode(_ptr(buf), len(data), _ptr(out), cap)
+    if hasattr(lib, "cm_encode_blocked"):
+        size = lib.cm_encode_blocked(
+            _ptr(buf), len(data), _ptr(out), cap,
+            ctypes.c_int64(block_size), ctypes.c_int(threads),
+        )
+    else:
+        size = lib.cm_encode(_ptr(buf), len(data), _ptr(out), cap)
     if size < 0:
         raise RuntimeError(f"native cm_encode rc={size}")
     return out[:size].tobytes()

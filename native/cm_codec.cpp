@@ -24,11 +24,26 @@
 //   u8 uniq[k]
 //   payload bytes
 //
+// Container "BQZC" v3 (blocked, thread-parallel — the bsc -T analog,
+// reference BFQzip.py:271): the stream is cut into fixed-size blocks, each
+// coded INDEPENDENTLY with a fresh model, so encode and decode parallelise
+// across a thread pool and any block is randomly accessible:
+//   magic[4] 'BQZC', u8 version=3, u8 k-1, u8 flags=0, u8 pad
+//   u64 n, u32 block_size, u32 nblocks
+//   u8 uniq[k]
+//   u32 payload_len[nblocks]
+//   payload blocks (concatenated)
+// Per-block model reset costs <1% ratio at the default 16M-symbol blocks
+// (model warmup is ~100K symbols).
+//
 // v1 containers (order-2 + run-bucket, tier ladder) remain decodable.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -322,6 +337,72 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
     prev = s;
 }
 
+// Encode one dense-coded stream with a fresh v2 model.
+void encode_stream_v2(const uint8_t* dense, int64_t n, int k,
+                      std::vector<uint8_t>& payload) {
+    std::vector<uint8_t> d(dense, dense + n);
+    ModelV2 m(k);
+    payload.reserve((size_t)(n / 3 + 64));
+    RangeEncoder rc(payload);
+    int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
+    int64_t match = -1;
+    uint64_t win = 0;
+    for (int64_t i = 0; i < n; i++)
+        code_symbol_v2<true>(m, d, i, prev, prev2, prev3, match, mlen, win,
+                             &rc, nullptr);
+    rc.flush();
+}
+
+// Decode one v2 stream; writes n ORIGINAL bytes via uniq. Returns 0 / -4.
+int decode_stream_v2(const uint8_t* payload, int64_t plen, int64_t n, int k,
+                     const uint8_t* uniq, uint8_t* out) {
+    ModelV2 m(k);
+    RangeDecoder rc(payload, plen);
+    std::vector<uint8_t> d((size_t)n);
+    int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
+    int64_t match = -1;
+    uint64_t win = 0;
+    for (int64_t i = 0; i < n; i++) {
+        code_symbol_v2<false>(m, d, i, prev, prev2, prev3, match, mlen, win,
+                              nullptr, &rc);
+        if (d[i] >= k) return -4;
+        out[i] = uniq[d[i]];
+    }
+    return 0;
+}
+
+int default_threads() {
+    const char* env = getenv("BFQ_CM_THREADS");
+    if (env && env[0]) {
+        int v = atoi(env);
+        if (v >= 1) return v;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? (int)hw : 1;
+}
+
+// Run fn(block_index) for blocks [0, nblocks) on a small pool.
+template <typename F>
+void parallel_blocks(int64_t nblocks, int nthreads, F fn) {
+    if (nthreads <= 1 || nblocks <= 1) {
+        for (int64_t b = 0; b < nblocks; b++) fn(b);
+        return;
+    }
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            fn(b);
+        }
+    };
+    int nt = (int)std::min<int64_t>(nthreads, nblocks);
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -368,17 +449,107 @@ int64_t cm_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t out_cap)
     return q - out;
 }
 
+// Blocked v3 encoder: independent per-block models, pool-parallel.
+// bsize <= 0 selects the 16M-symbol default; nthreads <= 0 auto-detects.
+int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
+                          int64_t out_cap, int64_t bsize, int nthreads) {
+    if (bsize <= 0) bsize = 16 * 1024 * 1024;
+    if (nthreads <= 0) nthreads = default_threads();
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; i++) hist[data[i]]++;
+    uint8_t dense[256], uniq[256];
+    int k = 0;
+    for (int b = 0; b < 256; b++)
+        if (hist[b]) {
+            dense[b] = (uint8_t)k;
+            uniq[k++] = (uint8_t)b;
+        }
+    if (k == 0) { uniq[0] = 0; k = 1; }
+    std::vector<uint8_t> d((size_t)n);
+    for (int64_t i = 0; i < n; i++) d[i] = dense[data[i]];
+
+    int64_t nblocks = n > 0 ? (n + bsize - 1) / bsize : 1;
+    if (nblocks > 0xFFFFFFFFll) return -5;
+    std::vector<std::vector<uint8_t>> payloads((size_t)nblocks);
+    parallel_blocks(nblocks, nthreads, [&](int64_t b) {
+        int64_t lo = b * bsize;
+        int64_t nb = std::min(bsize, n - lo) < 0 ? 0 : std::min(bsize, n - lo);
+        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b]);
+    });
+
+    int64_t total = 24 + k + 4 * nblocks;
+    for (auto& p : payloads) {
+        if (p.size() > 0xFFFFFFFFull) return -5;
+        total += (int64_t)p.size();
+    }
+    if (total > out_cap) return -2;
+    uint8_t* q = out;
+    std::memcpy(q, kMagic, 4); q += 4;
+    *q++ = 3; *q++ = (uint8_t)(k - 1); *q++ = 0; *q++ = 0;
+    uint64_t n64 = (uint64_t)n;
+    std::memcpy(q, &n64, 8); q += 8;
+    uint32_t b32 = (uint32_t)bsize, nb32 = (uint32_t)nblocks;
+    std::memcpy(q, &b32, 4); q += 4;
+    std::memcpy(q, &nb32, 4); q += 4;
+    std::memcpy(q, uniq, (size_t)k); q += k;
+    for (auto& p : payloads) {
+        uint32_t plen = (uint32_t)p.size();
+        std::memcpy(q, &plen, 4); q += 4;
+    }
+    for (auto& p : payloads) {
+        std::memcpy(q, p.data(), p.size()); q += p.size();
+    }
+    return q - out;
+}
+
 // Returns decoded length (pass out=nullptr to query), negative on error.
 int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_cap) {
     if (size < 20 || std::memcmp(blob, kMagic, 4) != 0) return -1;
     int version = blob[4];
-    if (version != 1 && version != 2) return -1;
+    if (version < 1 || version > 3) return -1;
     int k = blob[5] + 1;
     int tier = blob[6];
     if (tier > 2) return -1;
     uint64_t n;
-    uint32_t plen;
     std::memcpy(&n, blob + 8, 8);
+
+    if (version == 3) {
+        if (size < 24) return -1;
+        uint32_t bsize, nblocks;
+        std::memcpy(&bsize, blob + 16, 4);
+        std::memcpy(&nblocks, blob + 20, 4);
+        if (out == nullptr) return (int64_t)n;
+        if ((int64_t)n > out_cap) return -2;
+        if (bsize == 0 || nblocks == 0) return -3;
+        // coverage + table bounds (hostile headers must fail cleanly)
+        if ((uint64_t)bsize * nblocks < n) return -3;
+        if ((uint64_t)bsize * (nblocks - 1) >= n && n > 0 && nblocks > 1) return -3;
+        int64_t tab = 24 + k;
+        if (tab + 4ll * nblocks > size) return -3;
+        std::vector<int64_t> off((size_t)nblocks + 1);
+        off[0] = tab + 4ll * nblocks;
+        for (uint32_t b = 0; b < nblocks; b++) {
+            uint32_t plen;
+            std::memcpy(&plen, blob + tab + 4ll * b, 4);
+            off[b + 1] = off[b] + plen;
+            if (off[b + 1] > size) return -3;
+        }
+        const uint8_t* uniq = blob + 24;
+        std::atomic<int> err(0);
+        parallel_blocks((int64_t)nblocks, default_threads(), [&](int64_t b) {
+            int64_t lo = (int64_t)b * bsize;
+            int64_t nb = std::min<int64_t>(bsize, (int64_t)n - lo);
+            if (nb < 0) nb = 0;
+            int rc = decode_stream_v2(blob + off[(size_t)b],
+                                      off[(size_t)b + 1] - off[(size_t)b], nb, k,
+                                      uniq, out + lo);
+            if (rc < 0) err.store(rc);
+        });
+        if (err.load() < 0) return err.load();
+        return (int64_t)n;
+    }
+
+    uint32_t plen;
     std::memcpy(&plen, blob + 16, 4);
     if (out == nullptr) return (int64_t)n;
     if ((int64_t)n > out_cap) return -2;
@@ -387,21 +558,13 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
     const uint8_t* payload = blob + 20 + k;
 
     if (version == 2) {
-        ModelV2 m(k);
-        RangeDecoder rc(payload, plen);
-        std::vector<uint8_t> d((size_t)n);
-        int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-        int64_t match = -1;
-        uint64_t win = 0;
-        for (int64_t i = 0; i < (int64_t)n; i++) {
-            code_symbol_v2<false>(m, d, i, prev, prev2, prev3, match, mlen,
-                                  win, nullptr, &rc);
-            if (d[i] >= k) return -4;
-            out[i] = uniq[d[i]];
-        }
-        return (int64_t)n;
+        int rc = decode_stream_v2(payload, plen, (int64_t)n, k, uniq, out);
+        return rc < 0 ? rc : (int64_t)n;
     }
 
+    // v1 tier tables are sized for k <= 64 (tier 1) — reject mismatched
+    // headers instead of indexing out of bounds
+    if (tier == 1 && k > 64) return -1;
     ModelV1 m(k, tier);
     RangeDecoder rc(payload, plen);
     int prev = 0, prev2 = 0;

@@ -58,3 +58,65 @@ def test_native_rans_order1_qs_stream():
     blob = native.rans_encode(qs, spec_order=1, lanes=32)
     assert native.rans_decode(blob).tobytes() == qs
     assert bytes(rans.decode(blob)) == qs
+
+
+# ---- BQZC v3 blocked container + decode hardening --------------------------
+
+
+def _matchy_bytes(n=600_000, seed=0):
+    rng = np.random.default_rng(seed)
+    frag = rng.integers(65, 69, 1000, dtype=np.uint8)
+    parts = [frag[rng.integers(0, 900):][: rng.integers(50, 100)] for _ in range(n // 60)]
+    return bytes(np.concatenate(parts)[:n])
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_blocked_roundtrip_and_parallel_decode():
+    data = _matchy_bytes()
+    blob = native.cm_encode(data, block_size=100_000, threads=2)
+    assert blob[4] == 3  # v3 container
+    assert bytes(native.cm_decode(blob)) == data
+    # single-block (v3 with one block) also round-trips
+    blob1 = native.cm_encode(data, block_size=len(data) + 1)
+    assert bytes(native.cm_decode(blob1)) == data
+    # blocking costs ratio, bounded (fresh model per block)
+    assert len(blob) < len(data) // 2
+    assert len(blob) <= int(len(blob1) * 1.25)
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_decode_fuzz_never_crashes():
+    """Corrupt containers must raise (negative rc) or decode to garbage —
+    never crash the process (the valgrind-target analog for the decode path,
+    reference src_int_mem/Makefile:43-45)."""
+    data = _matchy_bytes(120_000, seed=1)
+    blob = bytearray(native.cm_encode(data, block_size=50_000))
+    rng = np.random.default_rng(2)
+    for trial in range(60):
+        bad = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            pos = int(rng.integers(0, len(bad)))
+            bad[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = native.cm_decode(bytes(bad))
+            assert out is None or len(out) >= 0
+        except (ValueError, RuntimeError, MemoryError, OverflowError):
+            pass
+    # truncations at every region boundary
+    for cut in (0, 3, 5, 12, 20, 25, len(blob) // 2, len(blob) - 1):
+        try:
+            native.cm_decode(bytes(blob[:cut]))
+        except (ValueError, RuntimeError, MemoryError, OverflowError):
+            pass
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_decode_rejects_hostile_v1_tier():
+    """A v1 header claiming tier=1 with k>64 indexed out of bounds before the
+    round-3 bounds fix; it must now be rejected."""
+    import struct
+
+    hdr = b"BQZC" + bytes([1, 255, 1, 0]) + struct.pack("<QI", 100, 4)
+    blob = hdr + bytes(range(256)) + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        native.cm_decode(blob)

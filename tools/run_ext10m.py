@@ -9,9 +9,12 @@ line with wall time, throughput, peak host RSS and output checks.
 
 import argparse
 import json
+import os
 import resource
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
