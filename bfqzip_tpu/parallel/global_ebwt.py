@@ -308,7 +308,173 @@ def _make_ctx(axis: str, d: int, m: int, n_pad: int, cap_sorted: int,
     )
 
 
+PACK6_64 = 24  # base-6 digits per i64 key word (6^24 < 2^62)
+MAX_FLAT_WORDS64 = 5  # flat path covers windows up to 120 symbols
+
+
 def _sort_body(ctx, n_reads, width, seqs_l, quals_l, lens_l):
+    """Dispatch: whole-window flat sort for production read lengths, prefix
+    doubling beyond the 5-word pack budget (mirrors ops/suffix.build_ebwt)."""
+    if width + 1 <= PACK6_64 * MAX_FLAT_WORDS64:
+        return _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l)
+    return _sort_body_doubling(ctx, n_reads, width, seqs_l, quals_l, lens_l)
+
+
+def _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l):
+    """ONE distributed multiword sample sort of whole-window packed keys.
+
+    The round-2 single-chip lesson (ops/suffix._build_ebwt_flat) ported to the
+    mesh: the ENTIRE (wp<=120)-symbol suffix window packs into <=5 base-6 i64
+    words, so suffix order is one sample sort — local variadic sort, splitter
+    agreement on full key ROWS, one bucket exchange, local merge.  Replaces
+    round-0 + 4 doubling rounds (each 2 distributed sorts + rank routing) of
+    the doubling path with ONE round and NO rank arrays; BWT/QS and the
+    smoother's predecessor symbols ride the exchange as one packed payload
+    (no routed gathers), and the LCP is elementwise on adjacent sorted rows
+    plus a one-row halo.  Suffix position is the last sort key, so ties
+    resolve in global position order == gsufsort's read-index convention.
+    """
+    m, d, n_pad, cap_sorted = ctx.m, ctx.d, ctx.n_pad, ctx.cap_sorted
+    wp = width + 1
+    nl = m // wp
+    me = ctx.shard_id()
+    base = me.astype(jnp.int64) * m
+    n_words = -(-wp // PACK6_64)
+    overflow = jnp.zeros((), jnp.int32)
+
+    lensl = lens_l.astype(jnp.int32)
+    k = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    is_pad = ((k > lensl[:, None]) | (lensl[:, None] <= 0)).reshape(-1)
+
+    # ---- whole-window base-6 keys (digits 0..5; 0 = terminator/pad) ----
+    ext = PACK6_64 * n_words
+    kk = jnp.arange(wp + ext, dtype=jnp.int32)[None, :]
+    base6 = jnp.pad(seqs_l, ((0, 0), (0, 1 + ext))).astype(jnp.uint8)
+    wcodes = jnp.where(kk < lensl[:, None], base6, jnp.uint8(0))
+
+    def pack24(word):
+        o = PACK6_64 * word
+        acc = jnp.zeros((nl, wp), jnp.int64)
+        for t in range(PACK6_64):
+            acc = acc * 6 + wcodes[:, o + t : o + t + wp].astype(jnp.int64)
+        return acc.reshape(-1)
+
+    words = [pack24(w) for w in range(n_words)]
+    # padding suffixes sort after every real window (real word0 < 6^24)
+    words[0] = jnp.where(is_pad, jnp.int64(6**PACK6_64), words[0])
+
+    # ---- payload: (prev symbol, prev quality, prev^2 symbol), with the
+    # cross-shard predecessors from a cyclic one/two-element halo ----
+    text_l = jnp.where(
+        (k < lensl[:, None]),
+        jnp.pad(seqs_l, ((0, 0), (0, 1))).astype(jnp.uint8) + 1,
+        jnp.uint8(0),
+    ).reshape(-1)
+    qtext_l = jnp.pad(quals_l, ((0, 0), (0, 1))).reshape(-1)
+    from_prev = [(i, (i + 1) % d) for i in range(d)]
+    tail2 = jax.lax.ppermute(text_l[m - 2 :], ctx.axis_name, from_prev)
+    qtail = jax.lax.ppermute(qtext_l[m - 1 :], ctx.axis_name, from_prev)
+    p1 = jnp.concatenate([tail2[1:], text_l[:-1]])
+    p2 = jnp.concatenate([tail2, text_l[:-2]])
+    q1 = jnp.concatenate([qtail, qtext_l[:-1]])
+    aux = (
+        p1.astype(jnp.int32)
+        | (q1.astype(jnp.int32) << 3)
+        | (p2.astype(jnp.int32) << 11)
+    )
+
+    pos = (base + jnp.arange(m, dtype=jnp.int64)).astype(jnp.int32)
+
+    # ---- distributed multiword sample sort ----
+    srt = jax.lax.sort((*words, pos, aux), num_keys=n_words + 1)
+    kw, ps, ax = srt[:n_words], srt[-2], srt[-1]
+
+    step = max(m // d, 1)
+    sample_idx = jnp.arange(d, dtype=jnp.int32) * step
+    # splitter ROWS (all words + pos jointly sorted, not per-word sorts)
+    samples = [jax.lax.all_gather(w[sample_idx], ctx.axis_name).reshape(-1)
+               for w in kw + (ps,)]
+    samples = jax.lax.sort(tuple(samples), num_keys=n_words + 1)
+    spl_idx = jnp.arange(1, d, dtype=jnp.int32) * d
+    spl = [s[spl_idx] for s in samples]  # [d-1] per word (+pos)
+
+    bucket = jnp.zeros((m,), jnp.int32)
+    for s in range(d - 1):
+        gt = jnp.zeros((m,), bool)
+        eq = jnp.ones((m,), bool)
+        for w in range(n_words):
+            gt = gt | (eq & (kw[w] > spl[w][s]))
+            eq = eq & (kw[w] == spl[w][s])
+        gt = gt | (eq & (ps > spl[n_words][s]))
+        bucket = bucket + gt.astype(jnp.int32)
+
+    payloads = [(w, I64_MAX) for w in kw] + [(ps, jnp.int32(-1)), (ax, jnp.int32(0))]
+    recv, vmask, ovf = ctx.bucket_exchange(bucket, payloads, bucket,
+                                           cap_sorted // d + 64)
+    overflow += ovf
+    rw = [jnp.where(vmask, r, I64_MAX) for r in recv[:n_words]]
+    rp = jnp.where(vmask, recv[n_words], jnp.iinfo(jnp.int32).max)
+    ra = recv[n_words + 1]
+    srt = jax.lax.sort((*rw, rp, ra), num_keys=n_words + 1)
+    kws, sa, axs = srt[:n_words], srt[-2], srt[-1]
+    count = jnp.sum(vmask.astype(jnp.int32))
+    overflow += jnp.maximum(count - cap_sorted, 0)
+    count = jnp.minimum(count, cap_sorted)
+
+    def fit(x, sentinel):
+        if x.shape[0] >= cap_sorted:
+            return x[:cap_sorted]
+        return jnp.pad(x, (0, cap_sorted - x.shape[0]), constant_values=sentinel)
+
+    kws = [fit(w, I64_MAX) for w in kws]
+    sa = fit(sa, jnp.int32(-1))
+    axs = fit(axs, jnp.int32(0))
+    slot_valid = jnp.arange(cap_sorted) < count
+
+    # ---- BWT / QS / predecessor from the payload ----
+    cprev = (axs & 7).astype(jnp.uint8)
+    is_term = cprev == 0
+    bwt_s = jnp.where(is_term, jnp.uint8(alphabet.TERM), cprev - 1)
+    qs_s = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR),
+                     ((axs >> 3) & 0xFF).astype(jnp.uint8))
+    c2 = ((axs >> 11) & 7).astype(jnp.uint8)
+    pre_s = jnp.where(c2 == 0, jnp.uint8(alphabet.TERM), c2 - 1)
+    bwt_s = jnp.where(slot_valid, bwt_s, jnp.uint8(alphabet.SIGMA))
+    qs_s = jnp.where(slot_valid, qs_s, jnp.uint8(0))
+
+    # ---- LCP: leading equal nonzero digits of adjacent sorted rows ----
+    prev_rows = [
+        jax.lax.ppermute(w[jnp.maximum(count - 1, 0)][None], ctx.axis_name,
+                         [(i, (i + 1) % d) for i in range(d)])[0]
+        for w in kws
+    ]
+    lcp_s = jnp.zeros((cap_sorted,), jnp.int32)
+    eq = jnp.ones((cap_sorted,), bool)
+    nz = jnp.ones((cap_sorted,), bool)
+    for w in range(n_words):
+        bw = kws[w]
+        aw = jnp.concatenate([prev_rows[w][None], bw[:-1]])
+        for t in range(PACK6_64):
+            div = jnp.int64(6 ** (PACK6_64 - 1 - t))
+            da = (aw // div) % 6
+            db = (bw // div) % 6
+            eq = eq & (da == db)
+            nz = nz & (da != 0)
+            lcp_s = lcp_s + (eq & nz).astype(jnp.int32)
+    lcp_s = jnp.where(slot_valid, lcp_s, 0)
+    lcp_s = jnp.where((me == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
+
+    axis = ctx.axis_name
+    n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)
+    n = jax.lax.psum(jnp.sum(jnp.maximum(lensl, 0), dtype=jnp.int64), axis) + n_valid_reads
+    overflow = jax.lax.psum(overflow, axis)
+    return SimpleNamespace(
+        bwt=bwt_s, qs=qs_s, lcp=lcp_s, sa=sa, count=count,
+        text=text_l, qtext=qtext_l, n=n, overflow=overflow, pre=pre_s,
+    )
+
+
+def _sort_body_doubling(ctx, n_reads, width, seqs_l, quals_l, lens_l):
     """Distributed EBWT sort body (runs inside shard_map): returns per-shard
     sorted-order buffers (bwt, qs, lcp, sa) + count, plus the local text/qs
     arrays in position layout, the total length n, and the overflow count."""

@@ -80,20 +80,23 @@ def _make_pipeline_kernel(mesh, axis, n_reads, width, cap_factor_milli, cfg):
         r = _sort_body(ctx, n_reads, width, seqs_l, quals_l, lens_l)
 
         # ---- exact rebalance: sorted order as equal contiguous [m] slices ----
-        (bwt_e, qs_e, lcp_e, sa_e), ovf_rb = ctx.rebalance(
-            r.count,
-            [
-                (r.bwt, jnp.uint8(alphabet.SIGMA)),
-                (r.qs, jnp.uint8(0)),
-                (r.lcp, jnp.int32(0)),
-                (r.sa, jnp.int32(-1)),
-            ],
-        )
-
-        # ---- predecessor symbols: text[(SA-2) mod n_pad] (engine.py:32-40) ----
-        prev2 = (sa_e.astype(jnp.int64) - 2) % n_pad
-        tprev2, ovf_pre = ctx.global_gather(r.text, prev2, jnp.uint8(0))
-        pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
+        pre_s = getattr(r, "pre", None)
+        payloads = [
+            (r.bwt, jnp.uint8(alphabet.SIGMA)),
+            (r.qs, jnp.uint8(0)),
+            (r.lcp, jnp.int32(0)),
+            (r.sa, jnp.int32(-1)),
+        ]
+        if pre_s is not None:
+            payloads.append((pre_s, jnp.uint8(0)))
+            (bwt_e, qs_e, lcp_e, sa_e, pre), ovf_rb = ctx.rebalance(r.count, payloads)
+            ovf_pre = jnp.zeros((), jnp.int32)
+        else:
+            (bwt_e, qs_e, lcp_e, sa_e), ovf_rb = ctx.rebalance(r.count, payloads)
+            # predecessor symbols: text[(SA-2) mod n_pad] (engine.py:32-40)
+            prev2 = (sa_e.astype(jnp.int64) - 2) % n_pad
+            tprev2, ovf_pre = ctx.global_gather(r.text, prev2, jnp.uint8(0))
+            pre = jnp.where(tprev2 == 0, jnp.uint8(alphabet.TERM), tprev2 - 1)
 
         # ---- cluster smoothing on the distributed scan ops ----
         ebwt = EbwtDevice(bwt=bwt_e, qs=qs_e, lcp=lcp_e, sa=sa_e,

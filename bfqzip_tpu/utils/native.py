@@ -56,19 +56,34 @@ def _find_lib():
             # the numpy path, not crash the import.
             try:
                 lib = ctypes.CDLL(cand)
-                lib.fastq_scan.restype = ctypes.c_int
-                lib.fastq_fill.restype = ctypes.c_int
-                lib.fastq_format.restype = ctypes.c_int64
-                lib.rans_encode.restype = ctypes.c_int64
-                lib.rans_decode.restype = ctypes.c_int64
-                for sym in ("cm_encode", "cm_encode_blocked", "cm_decode", "ext_merge"):
-                    if hasattr(lib, sym):
-                        getattr(lib, sym).restype = ctypes.c_int64
+                # Every size/length parameter is int64 on the C side;
+                # without argtypes, ctypes passes python ints as 32-bit —
+                # a >2GB FASTQ once truncated to a NEGATIVE size and parsed
+                # as 0 reads.  Declare all signatures explicitly.
+                vp, i64, i32 = ctypes.c_void_p, ctypes.c_int64, ctypes.c_int
+                lib.fastq_scan.restype = i32
+                lib.fastq_scan.argtypes = [vp, i64, vp, vp]
+                lib.fastq_fill.restype = i32
+                lib.fastq_fill.argtypes = [vp, i64, vp, i64, vp, vp, vp, vp, vp]
+                lib.fastq_format.restype = i64
+                lib.fastq_format.argtypes = [vp, vp, vp, i64, i64, vp, vp, vp, vp, vp]
+                lib.rans_encode.restype = i64
+                lib.rans_encode.argtypes = [vp, i64, i32, i32, vp, i64]
+                lib.rans_decode.restype = i64
+                lib.rans_decode.argtypes = [vp, i64, vp, i64]
+                if hasattr(lib, "cm_encode"):
+                    lib.cm_encode.restype = i64
+                    lib.cm_encode.argtypes = [vp, i64, vp, i64]
                 if hasattr(lib, "cm_encode_blocked"):
-                    lib.cm_encode_blocked.argtypes = [
-                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-                    ]
+                    lib.cm_encode_blocked.restype = i64
+                    lib.cm_encode_blocked.argtypes = [vp, i64, vp, i64, i64, i32]
+                if hasattr(lib, "cm_decode"):
+                    lib.cm_decode.restype = i64
+                    lib.cm_decode.argtypes = [vp, i64, vp, i64]
+                if hasattr(lib, "ext_merge"):
+                    lib.ext_merge.restype = i64
+                    lib.ext_merge.argtypes = [vp, vp, i64, vp, vp, i32,
+                                              vp, vp, vp, vp, vp]
             except (OSError, AttributeError):
                 continue
             _LIB = lib

@@ -38,6 +38,7 @@ def main():
     t0 = time.time()
     batch = read_fastq(args.fastq, with_headers=False)
     t_parse = time.time() - t0
+    assert batch.num_reads > 0, "parser returned no reads"
     total_bases = int(batch.lengths.sum())
 
     t1 = time.time()
