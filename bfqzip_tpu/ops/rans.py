@@ -170,17 +170,18 @@ def encode_best(data, lanes: int = DEFAULT_LANES, prefer_native: bool = True) ->
     return min(blobs, key=len)
 
 
-def encode_blob_best(data, lanes: int = DEFAULT_LANES) -> bytes:
+def encode_blob_best(data, lanes: int = DEFAULT_LANES, pos_reset: int = -1) -> bytes:
     """Best available entropy container for a byte stream: the adaptive
     context-model coder (BQZC, native/cm_codec.cpp) when the native library
-    is built, vs the static-table rANS (BQZR); smallest wins.  Decode with
-    decode_blob, which dispatches on the magic."""
+    is built, vs the static-table rANS (BQZR); smallest wins.  pos_reset
+    enables BQZC's positional contexts for line-structured streams.  Decode
+    with decode_blob, which dispatches on the magic."""
     from bfqzip_tpu.utils import native
 
     blobs = [encode_best(data, lanes)]
     if native.cm_available():
         raw = data if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8).tobytes()
-        blobs.append(native.cm_encode(raw))
+        blobs.append(native.cm_encode(raw, pos_reset=pos_reset))
     return min(blobs, key=len)
 
 

@@ -178,8 +178,11 @@ def _rans_one(path: str) -> str:
         # structure directly in the raw stream, so the
         # EBWT-domain BQZE transform (models/dna_ebwt.py) is no
         # longer tried here — it measured larger AND costs a
-        # second suffix sort (BASELINE.md, compression table)
-        blob = rans.encode_blob_best(data)
+        # second suffix sort (BASELINE.md, compression table).
+        # Quality streams get the positional context model: in-read
+        # position (reset at each newline) strongly conditions q
+        pos_reset = ord("\n") if path.endswith(".qs") else -1
+        blob = rans.encode_blob_best(data, pos_reset=pos_reset)
     out = path + ".rans"
     with open(out, "wb") as f:
         f.write(blob)

@@ -76,7 +76,7 @@ def _find_lib():
                     lib.cm_encode.argtypes = [vp, i64, vp, i64]
                 if hasattr(lib, "cm_encode_blocked"):
                     lib.cm_encode_blocked.restype = i64
-                    lib.cm_encode_blocked.argtypes = [vp, i64, vp, i64, i64, i32]
+                    lib.cm_encode_blocked.argtypes = [vp, i64, vp, i64, i64, i32, i32]
                 if hasattr(lib, "cm_decode"):
                     lib.cm_decode.restype = i64
                     lib.cm_decode.argtypes = [vp, i64, vp, i64]
@@ -169,14 +169,18 @@ def cm_available() -> bool:
     return lib is not None and hasattr(lib, "cm_encode")
 
 
-def cm_encode(data: bytes, block_size: int = 0, threads: int = 0) -> Optional[bytes]:
+def cm_encode(
+    data: bytes, block_size: int = 0, threads: int = 0, pos_reset: int = -1
+) -> Optional[bytes]:
     """Adaptive context-model coder (native/cm_codec.cpp, magic BQZC).
 
     Emits the blocked v3 container (independent per-block models, encoded and
     decoded on a thread pool — the bsc -T analog) when the library provides
     it; block_size<=0 picks the 16M-symbol default, threads<=0 auto-detects
-    (BFQ_CM_THREADS overrides).  Falls back to the single-stream v2 entry
-    point with an older library."""
+    (BFQ_CM_THREADS overrides).  pos_reset >= 0 enables the positional
+    context model with that byte restarting the in-record position counter
+    (pass ord('\\n') for line-structured streams like .fq.qs).  Falls back to
+    the single-stream v2 entry point with an older library."""
     lib = _find_lib()
     if lib is None or not hasattr(lib, "cm_encode"):
         return None
@@ -187,6 +191,7 @@ def cm_encode(data: bytes, block_size: int = 0, threads: int = 0) -> Optional[by
         size = lib.cm_encode_blocked(
             _ptr(buf), len(data), _ptr(out), cap,
             ctypes.c_int64(block_size), ctypes.c_int(threads),
+            ctypes.c_int(pos_reset),
         )
     else:
         size = lib.cm_encode(_ptr(buf), len(data), _ptr(out), cap)

@@ -224,14 +224,18 @@ struct Mixer {
     }
 };
 
+constexpr int kPosBuckets = 32;  // in-record position, 4-wide buckets
+
 struct ModelV2 {
     int k, bits, tree, nm;  // nm = number of mixed models (incl. match)
-    std::vector<uint16_t> p1, p2, p3, pm;
+    int reset_dense;        // dense code restarting the position counter
+    std::vector<uint16_t> p1, p2, p3, pm, p4;
     std::vector<float> w;
     std::vector<uint32_t> ht;  // match hash table: pos+1 of last occurrence
     Mixer mx;
 
-    explicit ModelV2(int k_) : k(k_) {
+    explicit ModelV2(int k_, int reset_dense_ = -1)
+        : k(k_), reset_dense(reset_dense_) {
         bits = 1;
         while ((1 << bits) < k) bits++;
         tree = 1 << bits;
@@ -240,6 +244,13 @@ struct ModelV2 {
         p2.assign((size_t)k * k * tree, kPOne / 2);
         if (nm == 4) p3.assign((size_t)k * k * k * tree, kPOne / 2);
         pm.assign((size_t)16 * tree * 2, kPOne / 2);
+        if (reset_dense >= 0) {
+            // positional model: quality profiles correlate with in-read
+            // position (tools/make_realistic.py's 3' decline is typical), so
+            // (pos-bucket x prev symbol) is a strong extra context for .qs
+            p4.assign((size_t)kPosBuckets * k * tree, kPOne / 2);
+            nm++;
+        }
         w.assign((size_t)16 * tree * nm, 1.0f / nm);
         ht.assign((size_t)1 << kHashBits, 0);
     }
@@ -252,7 +263,8 @@ template <bool kEncode>
 inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
                            int& prev, int& prev2, int& prev3,
                            int64_t& match, int& mlen, uint64_t& win,
-                           RangeEncoder* enc, RangeDecoder* dec) {
+                           RangeEncoder* enc, RangeDecoder* dec,
+                           int64_t& lpos) {
     int mlb;
     if (match < 0) {
         mlb = 0;
@@ -265,20 +277,27 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
     int psym = match >= 0 ? data[match] : 0;
     size_t b1 = (size_t)prev * m.tree;
     size_t b2 = ((size_t)prev * m.k + prev2) * m.tree;
-    size_t b3 = m.nm == 4 ? (((size_t)prev * m.k + prev2) * m.k + prev3) * m.tree : 0;
+    bool has_o3 = m.p3.size() > 0;
+    size_t b3 = has_o3 ? (((size_t)prev * m.k + prev2) * m.k + prev3) * m.tree : 0;
+    size_t b4 = 0;
+    if (m.reset_dense >= 0) {
+        int posb = lpos / 4 < kPosBuckets ? (int)(lpos / 4) : kPosBuckets - 1;
+        b4 = ((size_t)posb * m.k + prev) * m.tree;
+    }
 
     int node = 1;
     int s = kEncode ? data[i] : 0;
     for (int b = m.bits - 1; b >= 0; b--) {
         int pb = (psym >> b) & 1;
-        uint16_t* ps[4];
+        uint16_t* ps[5];
         ps[0] = &m.p1[b1 + node];
         ps[1] = &m.p2[b2 + node];
         int j = 2;
-        if (m.nm == 4) ps[j++] = &m.p3[b3 + node];
-        ps[j] = &m.pm[((size_t)mlb * m.tree + node) * 2 + pb];
+        if (has_o3) ps[j++] = &m.p3[b3 + node];
+        ps[j++] = &m.pm[((size_t)mlb * m.tree + node) * 2 + pb];
+        if (m.reset_dense >= 0) ps[j] = &m.p4[b4 + node];
 
-        float st[4];
+        float st[5];
         float t = 0;
         float* wv = &m.w[((size_t)mlb * m.tree + node) * m.nm];
         for (int q = 0; q < m.nm; q++) {
@@ -332,6 +351,7 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         }
         m.ht[key] = (uint32_t)(i + 1);
     }
+    if (m.reset_dense >= 0) lpos = (s == m.reset_dense) ? 0 : lpos + 1;
     prev3 = prev2;
     prev2 = prev;
     prev = s;
@@ -339,32 +359,32 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
 
 // Encode one dense-coded stream with a fresh v2 model.
 void encode_stream_v2(const uint8_t* dense, int64_t n, int k,
-                      std::vector<uint8_t>& payload) {
+                      std::vector<uint8_t>& payload, int reset_dense = -1) {
     std::vector<uint8_t> d(dense, dense + n);
-    ModelV2 m(k);
+    ModelV2 m(k, reset_dense);
     payload.reserve((size_t)(n / 3 + 64));
     RangeEncoder rc(payload);
     int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-    int64_t match = -1;
+    int64_t match = -1, lpos = 0;
     uint64_t win = 0;
     for (int64_t i = 0; i < n; i++)
         code_symbol_v2<true>(m, d, i, prev, prev2, prev3, match, mlen, win,
-                             &rc, nullptr);
+                             &rc, nullptr, lpos);
     rc.flush();
 }
 
 // Decode one v2 stream; writes n ORIGINAL bytes via uniq. Returns 0 / -4.
 int decode_stream_v2(const uint8_t* payload, int64_t plen, int64_t n, int k,
-                     const uint8_t* uniq, uint8_t* out) {
-    ModelV2 m(k);
+                     const uint8_t* uniq, uint8_t* out, int reset_dense = -1) {
+    ModelV2 m(k, reset_dense);
     RangeDecoder rc(payload, plen);
     std::vector<uint8_t> d((size_t)n);
     int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-    int64_t match = -1;
+    int64_t match = -1, lpos = 0;
     uint64_t win = 0;
     for (int64_t i = 0; i < n; i++) {
         code_symbol_v2<false>(m, d, i, prev, prev2, prev3, match, mlen, win,
-                              nullptr, &rc);
+                              nullptr, &rc, lpos);
         if (d[i] >= k) return -4;
         out[i] = uniq[d[i]];
     }
@@ -423,17 +443,8 @@ int64_t cm_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t out_cap)
     std::vector<uint8_t> d((size_t)n);
     for (int64_t i = 0; i < n; i++) d[i] = dense[data[i]];
 
-    ModelV2 m(k);
     std::vector<uint8_t> payload;
-    payload.reserve((size_t)(n / 3 + 64));
-    RangeEncoder rc(payload);
-    int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-    int64_t match = -1;
-    uint64_t win = 0;
-    for (int64_t i = 0; i < n; i++)
-        code_symbol_v2<true>(m, d, i, prev, prev2, prev3, match, mlen, win,
-                             &rc, nullptr);
-    rc.flush();
+    encode_stream_v2(d.data(), n, k, payload);
 
     int64_t total = 20 + k + (int64_t)payload.size();
     if (total > out_cap) return -2;
@@ -451,8 +462,12 @@ int64_t cm_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t out_cap)
 
 // Blocked v3 encoder: independent per-block models, pool-parallel.
 // bsize <= 0 selects the 16M-symbol default; nthreads <= 0 auto-detects.
+// reset_byte >= 0 enables the positional context model: the in-record
+// position counter restarts after each occurrence of that ORIGINAL byte
+// (pass '\n' for line-structured streams like .fq.qs).
 int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
-                          int64_t out_cap, int64_t bsize, int nthreads) {
+                          int64_t out_cap, int64_t bsize, int nthreads,
+                          int reset_byte) {
     if (bsize <= 0) bsize = 16 * 1024 * 1024;
     if (nthreads <= 0) nthreads = default_threads();
     int64_t hist[256] = {0};
@@ -467,6 +482,9 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     if (k == 0) { uniq[0] = 0; k = 1; }
     std::vector<uint8_t> d((size_t)n);
     for (int64_t i = 0; i < n; i++) d[i] = dense[data[i]];
+    int reset_dense = -1;
+    if (reset_byte >= 0 && reset_byte < 256 && hist[reset_byte])
+        reset_dense = dense[reset_byte];
 
     int64_t nblocks = n > 0 ? (n + bsize - 1) / bsize : 1;
     if (nblocks > 0xFFFFFFFFll) return -5;
@@ -474,7 +492,7 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     parallel_blocks(nblocks, nthreads, [&](int64_t b) {
         int64_t lo = b * bsize;
         int64_t nb = std::min(bsize, n - lo) < 0 ? 0 : std::min(bsize, n - lo);
-        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b]);
+        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b], reset_dense);
     });
 
     int64_t total = 24 + k + 4 * nblocks;
@@ -485,7 +503,9 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     if (total > out_cap) return -2;
     uint8_t* q = out;
     std::memcpy(q, kMagic, 4); q += 4;
-    *q++ = 3; *q++ = (uint8_t)(k - 1); *q++ = 0; *q++ = 0;
+    *q++ = 3; *q++ = (uint8_t)(k - 1);
+    *q++ = reset_dense >= 0 ? 1 : 0;           // flags bit0: positional model
+    *q++ = reset_dense >= 0 ? (uint8_t)reset_dense : 0;
     uint64_t n64 = (uint64_t)n;
     std::memcpy(q, &n64, 8); q += 8;
     uint32_t b32 = (uint32_t)bsize, nb32 = (uint32_t)nblocks;
@@ -509,12 +529,16 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
     if (version < 1 || version > 3) return -1;
     int k = blob[5] + 1;
     int tier = blob[6];
-    if (tier > 2) return -1;
+    if (version != 3 && tier > 2) return -1;
     uint64_t n;
     std::memcpy(&n, blob + 8, 8);
 
     if (version == 3) {
         if (size < 24) return -1;
+        int flags = blob[6];
+        if (flags > 1) return -1;
+        int reset_dense = (flags & 1) ? blob[7] : -1;
+        if (reset_dense >= k) return -1;
         uint32_t bsize, nblocks;
         std::memcpy(&bsize, blob + 16, 4);
         std::memcpy(&nblocks, blob + 20, 4);
@@ -542,7 +566,7 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
             if (nb < 0) nb = 0;
             int rc = decode_stream_v2(blob + off[(size_t)b],
                                       off[(size_t)b + 1] - off[(size_t)b], nb, k,
-                                      uniq, out + lo);
+                                      uniq, out + lo, reset_dense);
             if (rc < 0) err.store(rc);
         });
         if (err.load() < 0) return err.load();

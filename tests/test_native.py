@@ -120,3 +120,24 @@ def test_cm_decode_rejects_hostile_v1_tier():
     blob = hdr + bytes(range(256)) + b"\x00\x00\x00\x00"
     with pytest.raises(ValueError):
         native.cm_decode(blob)
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_positional_context_roundtrip_and_gain():
+    """The v3 positional model (flags bit0) conditions on in-record position
+    reset at a chosen byte; quality-like lines must round-trip and compress
+    better than without it."""
+    rng = np.random.default_rng(5)
+    L, N = 101, 12_000
+    pos_mean = 38.0 - 18.0 * (np.arange(L) / L) ** 1.5
+    q = np.clip(rng.normal(pos_mean[None, :], 4.0, (N, L)), 2, 40).astype(np.int32) + 33
+    lines = np.concatenate([q.astype(np.uint8), np.full((N, 1), 10, np.uint8)], axis=1)
+    data = lines.tobytes()
+    plain = native.cm_encode(data)
+    posb = native.cm_encode(data, pos_reset=10)
+    assert posb[6] == 1  # flags bit0
+    assert bytes(native.cm_decode(posb)) == data
+    assert len(posb) < len(plain)
+    # blocked + positional together
+    blk = native.cm_encode(data, block_size=200_000, pos_reset=10)
+    assert bytes(native.cm_decode(blk)) == data
