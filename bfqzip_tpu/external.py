@@ -31,11 +31,15 @@ shares the cap, src_ext_mem/parameters.h:66-74 — and this path has no
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_LOG = logging.getLogger("bfqzip.external")
 
 from bfqzip_tpu import alphabet
 from bfqzip_tpu.config import SmoothConfig
@@ -172,8 +176,12 @@ def smooth_fastq_external(
     ).reshape(-1)
     qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
 
+    n_chunks = -(-n_reads // reads_per_chunk)
+    _LOG.info("stage 1: %d reads in %d device chunks of <=%d",
+              n_reads, n_chunks, reads_per_chunk)
     sa_chunks = []
-    for lo in range(0, n_reads, reads_per_chunk):
+    t0 = time.time()
+    for ci, lo in enumerate(range(0, n_reads, reads_per_chunk)):
         hi = min(lo + reads_per_chunk, n_reads)
         dev = build_ebwt(
             jnp.asarray(batch.seqs[lo:hi]),
@@ -183,7 +191,11 @@ def smooth_fastq_external(
         nloc = int(dev.n)
         sa_chunks.append((np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32))
         del dev
+        _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
+                  ci + 1, n_chunks, time.time() - t0)
+    t0 = time.time()
     bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(text, qtext, sa_chunks)
+    _LOG.info("stage 1: native k-way merge done (%.1fs)", time.time() - t0)
     del sa_chunks
     n = bwt_h.size
 
@@ -208,12 +220,14 @@ def smooth_fastq_external(
             out = np.concatenate([out, np.full(pad, fill, arr.dtype)])
         return jnp.asarray(out)
 
+    _LOG.info("stage 2: streaming smooth over %d segments of %d", n_seg, seg_len)
     words_h = np.empty(n_seg * seg_len, np.int32)
     close_h = np.empty(n_seg * seg_len, bool)
     inclu_h = np.empty(n_seg * seg_len, bool)
     firsts, anys = [], []
     stats_acc: dict = {}
     carries = None
+    t0 = time.time()
     for s in range(n_seg):
         word, close, inclu, stats, carries, fw, ac = part1(
             seg_slice(bwt_h, s, alphabet.SIGMA),
@@ -232,6 +246,8 @@ def smooth_fastq_external(
         anys.append(bool(ac))
         for key, v in stats.items():
             stats_acc[key] = stats_acc.get(key, 0) + int(v)
+        _LOG.info("stage 2: segment %d/%d done (%.1fs elapsed)",
+                  s + 1, n_seg, time.time() - t0)
 
     # phase B: reverse sweep — decision-word broadcast across segments
     right_carry = np.zeros(n_seg, np.int32)

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--out", default=None, help="optional smoothed FASTQ path")
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
