@@ -62,6 +62,8 @@ def build_parser():
     p.add_argument("-D", "--debug-dump", action="store_true",
                    help="write a per-position TSV of BWT/QS/LCP flags and print cluster/QS histograms (reference -D/-V modes)")
     p.add_argument("--decompress", action="store_true", help="decode .rans containers given as inputs")
+    p.add_argument("--restore", action="store_true",
+                   help="reassemble a FASTQ from a compressed output base name")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p
 
@@ -85,6 +87,16 @@ def main(argv=None) -> int:
         for path in args.input:
             out = decompress_stream(path, args.out or None)
             print(f"{path} -> {out}")
+        return 0
+
+    if args.restore:
+        from bfqzip_tpu.pipeline import restore_fastq
+
+        if len(args.input) != 1:
+            print("error: --restore takes the output base name", file=sys.stderr)
+            return 2
+        out = restore_fastq(args.input[0], args.out or None)
+        print(f"{args.input[0]} -> {out}")
         return 0
 
     from bfqzip_tpu.config import PipelineConfig, SmoothConfig

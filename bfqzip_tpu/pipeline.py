@@ -225,6 +225,65 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
     return outputs
 
 
+def restore_fastq(base: str, out_path: Optional[str] = None) -> str:
+    """Reassemble a FASTQ from compressed stream containers.
+
+    The reference stops at per-stream archives and leaves reassembly to the
+    user (BFQzip.py:253-275 writes OUT.fq/.fq.dna/.fq.qs/.h archives only);
+    this puts the 4-line records back together: mode-1 archives (BASE.fq.rans)
+    decode directly, mode-2/3 archives interleave BASE.fq.dna.rans +
+    BASE.fq.qs.rans with BASE.h.rans headers when present ('@' otherwise).
+    """
+    out_path = out_path or base + ".restored.fastq"
+    one = base + ".fq.rans"
+    if os.path.exists(one):
+        data = _decode_blob_file(one)
+        with open(out_path, "wb") as f:
+            f.write(data)
+        return out_path
+    dna_p, qs_p, h_p = base + ".fq.dna.rans", base + ".fq.qs.rans", base + ".h.rans"
+    if not (os.path.exists(dna_p) and os.path.exists(qs_p)):
+        raise FileNotFoundError(f"no stream archives found at {base}(.fq|.fq.dna|.fq.qs).rans")
+    dna = _decode_blob_file(dna_p).split(b"\n")
+    qs = _decode_blob_file(qs_p).split(b"\n")
+    if dna and dna[-1] == b"":
+        dna.pop()
+    if qs and qs[-1] == b"":
+        qs.pop()
+    if len(dna) != len(qs):
+        raise ValueError(f"stream record mismatch: {len(dna)} DNA vs {len(qs)} QS lines")
+    if os.path.exists(h_p):
+        headers = _decode_blob_file(h_p).split(b"\n")
+        if headers and headers[-1] == b"":
+            headers.pop()
+        if len(headers) != len(dna):
+            raise ValueError(f"{len(headers)} headers for {len(dna)} records")
+    else:
+        headers = None
+    with open(out_path, "wb") as f:
+        parts = []
+        for i, (d, q) in enumerate(zip(dna, qs)):
+            parts.append(headers[i] if headers else b"@")
+            parts.append(b"\n")
+            parts.append(d)
+            parts.append(b"\n+\n")
+            parts.append(q)
+            parts.append(b"\n")
+            if len(parts) > 1 << 16:
+                f.write(b"".join(parts))
+                parts = []
+        f.write(b"".join(parts))
+    return out_path
+
+
+def _decode_blob_file(path: str) -> bytes:
+    tmp = decompress_stream(path, path + ".dec.tmp")
+    with open(tmp, "rb") as f:
+        data = f.read()
+    os.remove(tmp)
+    return data
+
+
 def decompress_stream(path: str, out_path: Optional[str] = None) -> str:
     """Decode any bfqzip container back to the original stream bytes."""
     from bfqzip_tpu.utils import native

@@ -295,3 +295,27 @@ def test_checkfastq(workdir):
     bad.write_bytes(b"@r\nACGT\n+\nIII\n")
     assert not check_fastq(str(bad))
     assert not check_fastq(str(workdir / "reads.txt"))
+
+
+def test_restore_fastq_roundtrip(tmp_path):
+    """--restore reassembles the smoothed FASTQ from mode-3 stream archives;
+    the result must equal the pipeline's own .fq byte-for-byte (a capability
+    the reference leaves to manual stream pasting, BFQzip.py:253-275)."""
+    from bfqzip_tpu import cli
+    from bfqzip_tpu.pipeline import restore_fastq
+
+    src = golden_path("example.in.fastq")
+    base = str(tmp_path / "r")
+    rc = cli.main([src, "-o", base, "-3", "--headers", "--cpu"])
+    assert rc == 0
+    out = restore_fastq(base)
+    assert open(out, "rb").read() == open(base + ".fq", "rb").read()
+
+    # mode-2 archives (no header stream) restore with bare '@' headers
+    base2 = str(tmp_path / "r2")
+    rc = cli.main([src, "-o", base2, "-2", "--cpu"])
+    assert rc == 0
+    out2 = restore_fastq(base2)
+    body = open(out2, "rb").read()
+    assert body.startswith(b"@\n")
+    assert body == open(base2 + ".fq", "rb").read()
