@@ -100,11 +100,18 @@ def encode_headers(headers: List[bytes]) -> bytes:
     parts = [MAGIC + struct.pack("<IB", n, nf)]
     for f in range(nf):
         col = [t[f] for t in toks]
-        if col[0].isdigit():
+        # leading zeros only survive a fixed-width (%0*d) re-rendering, and
+        # int64 delta coding needs values < 2^63: any column with varying
+        # widths + a leading zero, or an over-long value, takes the literal
+        # kind-2 path (lossless by construction)
+        numeric_ok = col[0].isdigit()
+        if numeric_ok:
             widths = {len(c) for c in col}
-            fixed = widths.pop() if len(widths) == 0 or len(widths) == 1 else None
-            # leading zeros only survive a fixed-width encoding
+            fixed = widths.pop() if len(widths) == 1 else None
             has_lz = any(c[0:1] == b"0" and len(c) > 1 for c in col)
+            if (has_lz and fixed is None) or any(len(c) > 18 for c in col):
+                numeric_ok = False
+        if numeric_ok:
             width_flag = (fixed or 0) if has_lz else 0
             vals = np.array([int(c) for c in col], np.int64)
             deltas = np.empty_like(vals)

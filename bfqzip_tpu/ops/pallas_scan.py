@@ -103,10 +103,16 @@ def _seg_scan_kernel(x_ref, f_ref, o_ref, carry, *, op: str, rows: int):
     carry[...] = tails(v)[:, rows - 1 : rows, 0:1].reshape(carry.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
 def seg_scan_1p(x: jax.Array, reset: jax.Array, op: str = "add") -> jax.Array:
     """Inclusive segmented i32 scan over [n] or [C, n]; `reset[i]` restarts
     the running value AT i.  One sequential-grid Pallas pass."""
+    # interpret is a static jit argument so toggling the module flag
+    # mid-process (test fixtures) cannot hit a stale compiled trace
+    return _seg_scan_1p(x, reset, op, _INTERPRET)
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def _seg_scan_1p(x: jax.Array, reset: jax.Array, op: str, interpret: bool) -> jax.Array:
     chanfirst = x.ndim == 2
     x2 = x if chanfirst else x[None, :]
     C, n0 = x2.shape
@@ -133,7 +139,7 @@ def seg_scan_1p(x: jax.Array, reset: jax.Array, op: str = "add") -> jax.Array:
         ],
         out_specs=pl.BlockSpec((C, rows, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((C, 1), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # the carry scratch makes grid steps order-dependent
             dimension_semantics=("arbitrary",),

@@ -177,6 +177,17 @@ def cluster_words(bwt, qs, lcp, n, cfg: SmoothConfig, pre, ops) -> tuple:
         c_newqs = qsum // safe_basenum
     else:  # mode 1: mean error in the reference's double precision when x64
         # is on (tests/CLI); f32 fallback can differ +-1 on half-boundaries.
+        if not jax.config.jax_enable_x64:
+            import warnings
+
+            warnings.warn(
+                "SmoothConfig(mode=1) without jax_enable_x64: mean-error "
+                "quality replacement runs in float32 and can differ +-1 from "
+                "the reference's double precision (bfq_int.cpp:357-373). "
+                "Set JAX_ENABLE_X64=1 (the CLI default) for exact parity.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         err = jnp.where(
             nonterm_pos & mask_i,

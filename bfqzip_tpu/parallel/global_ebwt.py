@@ -148,6 +148,25 @@ def _make_ctx(axis: str, d: int, m: int, n_pad: int, cap_sorted: int,
         me = shard_id()
         return jnp.sum(jnp.where(jnp.arange(d) < me, all_c, 0)), all_c
 
+    def prev_valid_halo(vals, count):
+        """Last element of the NEAREST NONEMPTY preceding shard for each
+        array in `vals` (scalars), plus a has-predecessor flag.
+
+        A plain ppermute halo reads the immediate neighbour's sentinel when
+        that shard received zero elements (extreme splitter skew), silently
+        corrupting adjacent-row LCPs and dense ranks; this chains across
+        empty shards instead.  has_prev is False on shard 0 and when every
+        preceding shard is empty — callers must fall back explicitly."""
+        has = jax.lax.all_gather(count > 0, axis)  # [d]
+        sid = jnp.arange(d, dtype=jnp.int32)
+        me = shard_id().astype(jnp.int32)
+        pidx = jnp.max(jnp.where(has & (sid < me), sid, -1))
+        rows = []
+        for v in vals:
+            g = jax.lax.all_gather(v[jnp.maximum(count - 1, 0)], axis)  # [d]
+            rows.append(g[jnp.maximum(pidx, 0)])
+        return rows, pidx >= 0
+
     def bucket_exchange(sort_key, payloads, bucket_of, cap):
         """Group local elements by bucket_of (values in [0,d)), exchange.
 
@@ -197,11 +216,11 @@ def _make_ctx(axis: str, d: int, m: int, n_pad: int, cap_sorted: int,
         """Dense-rank the sorted-order keys and route ranks back to the
         position-sharded layout.  Returns (rank_l [m], overflow)."""
         valid = jnp.arange(cap_sorted) < count
-        prev_last = jax.lax.ppermute(ks[jnp.maximum(count - 1, 0)][None], axis,
-                                     prev_perm)[0]
+        (prev_last,), has_prev = prev_valid_halo([ks], count)
         prev_key = jnp.concatenate([prev_last[None], ks[:-1]])
         changed = (ks != prev_key) & valid
-        changed = changed.at[0].set((shard_id() == 0) | changed[0])
+        # no valid predecessor anywhere before this shard -> first key is new
+        changed = changed.at[0].set((~has_prev & valid[0]) | changed[0])
         local_rank = jnp.cumsum(changed.astype(jnp.int64), dtype=jnp.int64) - 1
         nuniq = jnp.maximum(local_rank[jnp.maximum(count - 1, 0)] + 1, 0)
         nuniq = jnp.where(count > 0, nuniq, 0)
@@ -304,7 +323,7 @@ def _make_ctx(axis: str, d: int, m: int, n_pad: int, cap_sorted: int,
         shard_offset=shard_offset, bucket_exchange=bucket_exchange,
         dsort=dsort, dense_rank_to_positions=dense_rank_to_positions,
         global_gather=global_gather, global_scatter=global_scatter,
-        rebalance=rebalance,
+        rebalance=rebalance, prev_valid_halo=prev_valid_halo,
     )
 
 
@@ -443,11 +462,9 @@ def _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l):
     qs_s = jnp.where(slot_valid, qs_s, jnp.uint8(0))
 
     # ---- LCP: leading equal nonzero digits of adjacent sorted rows ----
-    prev_rows = [
-        jax.lax.ppermute(w[jnp.maximum(count - 1, 0)][None], ctx.axis_name,
-                         [(i, (i + 1) % d) for i in range(d)])[0]
-        for w in kws
-    ]
+    # halo = last row of the nearest NONEMPTY preceding shard (a direct
+    # neighbour halo would read the I64_MAX pad sentinel across empty shards)
+    prev_rows, has_prev = ctx.prev_valid_halo(kws, count)
     lcp_s = jnp.zeros((cap_sorted,), jnp.int32)
     eq = jnp.ones((cap_sorted,), bool)
     nz = jnp.ones((cap_sorted,), bool)
@@ -462,7 +479,7 @@ def _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l):
             nz = nz & (da != 0)
             lcp_s = lcp_s + (eq & nz).astype(jnp.int32)
     lcp_s = jnp.where(slot_valid, lcp_s, 0)
-    lcp_s = jnp.where((me == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
+    lcp_s = jnp.where(~has_prev & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
 
     axis = ctx.axis_name
     n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)
@@ -539,13 +556,13 @@ def _sort_body_doubling(ctx, n_reads, width, seqs_l, quals_l, lens_l):
     qs_s = jnp.where(is_term, jnp.uint8(alphabet.TERM_CHAR), qprev)
 
     # ---- LCP in sorted order ----
-    prev_sa = jax.lax.ppermute(
-        sa[jnp.maximum(count - 1, 0)][None],
-        ctx.axis_name,
-        [(i, (i + 1) % d) for i in range(d)],
-    )[0]
+    # halo from the nearest NONEMPTY preceding shard (empty shards pad sa
+    # with -1; comparing against that would zero a genuinely nonzero LCP)
+    (prev_sa,), has_prev = ctx.prev_valid_halo([sa], count)
     far = jnp.int64(-(2**40))  # keeps a+h negative for any offset h
     a = jnp.where(slot_valid, jnp.concatenate([prev_sa[None], sa[:-1]]).astype(jnp.int64), far)
+    # position 0 of the globally-first nonempty shard has no predecessor
+    a = jnp.where((jnp.arange(cap_sorted) == 0) & ~has_prev, far, a)
     b = jnp.where(slot_valid, sa.astype(jnp.int64), far)
     h = jnp.zeros((cap_sorted,), jnp.int64)
     for span, r in zip(reversed(spans[:-1]), reversed(ranks)):
@@ -565,7 +582,7 @@ def _sort_body_doubling(ctx, n_reads, width, seqs_l, quals_l, lens_l):
         nz = nz & (((pa >> sh) & 7) != 0)
         rem = rem + (eq & nz).astype(jnp.int64)
     lcp_s = (h + rem).astype(jnp.int32)
-    lcp_s = jnp.where((me == 0) & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
+    lcp_s = jnp.where(~has_prev & (jnp.arange(cap_sorted) == 0), 0, lcp_s)
 
     axis = ctx.axis_name
     n_valid_reads = jax.lax.psum(jnp.sum((lensl > 0).astype(jnp.int64)), axis)

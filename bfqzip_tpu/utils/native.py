@@ -186,6 +186,11 @@ def cm_encode(
         return None
     buf = np.frombuffer(data, np.uint8)
     cap = len(data) + len(data) // 2 + (1 << 16)
+    # the v3 container carries a 4-byte length per block: size the capacity
+    # from the actual block count so a tiny explicit block_size cannot make
+    # the table alone overflow cap (native rc=-2)
+    eff_bsize = block_size if block_size > 0 else 16 * 1024 * 1024
+    cap += 4 * (max(len(data) + eff_bsize - 1, 1) // eff_bsize) + 64
     out = np.zeros(cap, np.uint8)
     if hasattr(lib, "cm_encode_blocked"):
         size = lib.cm_encode_blocked(

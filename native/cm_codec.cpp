@@ -469,6 +469,9 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
                           int64_t out_cap, int64_t bsize, int nthreads,
                           int reset_byte) {
     if (bsize <= 0) bsize = 16 * 1024 * 1024;
+    // the v3 header stores bsize as u32; a larger value would truncate into a
+    // self-inconsistent container (wrong block boundaries on decode)
+    if (bsize > 0xFFFFFFFFll) return -5;
     if (nthreads <= 0) nthreads = default_threads();
     int64_t hist[256] = {0};
     for (int64_t i = 0; i < n; i++) hist[data[i]]++;

@@ -122,6 +122,26 @@ def test_stats_match_numpy_model():
         assert stats[k] == getattr(ref_stats, k), k
 
 
+def test_mode1_warns_without_x64():
+    # library callers bypassing the CLI's JAX_ENABLE_X64=1 must get a loud
+    # warning that mean-error smoothing can differ +-1 from the reference
+    import warnings
+
+    import jax
+
+    batch = _load("example")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.warns(RuntimeWarning, match="mean-error"):
+            smooth_fastq(batch, SmoothConfig(mode=1))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    # and no warning under x64 (the supported configuration)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        smooth_fastq(batch, SmoothConfig(mode=1))
+
+
 def test_smooth_random_vs_numpy():
     rng = np.random.default_rng(11)
     for seed in range(3):

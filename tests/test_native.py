@@ -85,6 +85,23 @@ def test_cm_blocked_roundtrip_and_parallel_decode():
 
 
 @pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_encode_rejects_oversize_block():
+    # the v3 header stores block_size as u32; larger must be rejected (-5),
+    # not truncated into a self-inconsistent container (round-3 advisor)
+    with pytest.raises(RuntimeError, match="-5"):
+        native.cm_encode(b"hello world" * 100, block_size=(1 << 32) + 5)
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_encode_tiny_block_size():
+    # a pathological block_size must not overflow the output capacity via the
+    # 4-byte-per-block length table (round-3 advisor): degrade, don't raise
+    data = b"ACGT" * 500
+    blob = native.cm_encode(data, block_size=1)
+    assert bytes(native.cm_decode(blob)) == data
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
 def test_cm_decode_fuzz_never_crashes():
     """Corrupt containers must raise (negative rc) or decode to garbage —
     never crash the process (the valgrind-target analog for the decode path,
