@@ -18,9 +18,17 @@ host RAM:
      boundary summary between segments (the sequential-chunk analog of
      parallel/dist_scan.DistScanOps), right-dependencies read a small
      lookahead halo, and the one long-range right-to-left op (the decision
-     word broadcast) becomes a reverse sweep over per-segment summaries;
+     word broadcast) is resolved IN the forward pass for every cluster that
+     closes within the segment+halo window; only positions whose cluster
+     extends past the halo ("pending", a bounded tail of each segment) are
+     re-applied afterwards by a tiny fixed-size fix-up call once the later
+     segments have produced the closing decision word.  This keeps the whole
+     per-position output down-transfer at one u16 per position (measured on
+     the 1.02G-position round-3 run, phase B's full-segment re-uploads were
+     ~780s of tunnel time — the fix-up scheme removes them);
   4. inversion is the host-side permutation scatter grid[(SA-1) mod n_pad]
-     (the invert_via_sa argument, ops/invert.py:50-58).
+     (the invert_via_sa argument, ops/invert.py:50-58), done per segment in
+     the forward pass.
 
 Byte-equality with the in-core engine holds whenever every read is shorter
 than 255 bp (the 1-byte LCP cap only saturates beyond that; the reference
@@ -132,10 +140,24 @@ class SeqChunkOps:
         return jnp.sum(x[: self.seg_len])
 
 
-def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig, seg_len: int):
-    """cluster_words on one [seg_len + halo] window; returns per-position
-    outputs (valid on [0, seg_len)), partial stats, scan carries, and the
-    segment's (first-close word, any-close) summary for phase B."""
+def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig,
+                   seg_len: int, fix_cap: int):
+    """cluster_words + apply on one [seg_len + halo] window, forward pass.
+
+    The decision-word broadcast (next close's word, leftward) is resolved
+    over the FULL window including the halo, so a cluster closing within
+    `halo` of the boundary needs no cross-segment information.  Positions
+    whose cluster extends past the window ("pending") are applied with
+    word 0 — a no-op by construction (apply_words gates every action on the
+    decision bits) — and re-applied later by _fix_tail with the true carry.
+    Returns the packed u16 output, stats, scan carries, the (first-close
+    word, any-close) summary, this segment's modified/smoothed counts, the
+    fix-cap tail slices for the fix-up, and the full word/close/in-cluster
+    arrays (fetched by the host ONLY for the rare fallback segment whose
+    pending region exceeds fix_cap — a cluster spanning almost the whole
+    segment)."""
+    from bfqzip_tpu.ops.scan import next_marked
+
     ops = SeqChunkOps(int(base) if isinstance(base, int) else base, seg_len, carries)
     word, close_mark, in_cluster, stats = cluster_words(
         bwt, qs, lcp.astype(jnp.int32), n, cfg, pre, ops
@@ -144,7 +166,64 @@ def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig, seg_l
     idx = jnp.argmax(cm)  # first close (0 if none)
     any_close = jnp.any(cm)
     first_word = jnp.where(any_close, word[idx], 0)
-    return word, close_mark, in_cluster, stats, ops.carries_out, first_word, any_close
+
+    # leftward broadcast over the whole window: halo closes resolve clusters
+    # that span the segment boundary by < halo.  A cluster spanning the
+    # WINDOW end produces a spurious close at the last window position
+    # (shift_next fills False past the edge) whose decision word holds only
+    # partial cluster counts — mask it unless the data truly ends inside
+    # this window; masked positions degrade to pending and are re-applied
+    # with the true carry word.  (Closes elsewhere in the halo are exact:
+    # every segmented scan is carried left-to-right, and edge effects in the
+    # eligibility lookahead can only MISS a close, which is also safe.)
+    win_len = bwt.shape[0]
+    at_end = (ops.base + jnp.int32(win_len)) >= n
+    cm_w = close_mark.at[-1].set(close_mark[-1] & at_end)
+    w_ext = next_marked(jnp.where(cm_w, word, 0), cm_w, init=0)
+    seen = jnp.cumsum(cm_w[::-1].astype(jnp.int32))[::-1] > 0
+    w_use = jnp.where(seen, w_ext, 0)[:seg_len]
+
+    bwt_t, qs_t, pre_t = bwt[:seg_len], qs[:seg_len], pre[:seg_len]
+    inclu_t = in_cluster[:seg_len]
+    bwt_sub, qs_out, modified, smoothed = apply_words(
+        bwt_t, qs_t, pre_t, w_use, inclu_t, cfg
+    )
+    if cfg.binning:
+        qs_out = illumina_bin_jax(qs_out)
+    pos = jnp.arange(seg_len, dtype=jnp.int32)
+    valid = pos < (n - ops.base)
+    is_char = (bwt_t != alphabet.TERM) & (bwt_t != jnp.uint8(alphabet.SIGMA)) & valid
+    packed = jnp.where(
+        is_char, (qs_out.astype(jnp.uint16) << 8) | bwt_sub.astype(jnp.uint16), 0
+    ).astype(jnp.uint16)
+
+    pending = inclu_t & ~seen[:seg_len] & valid
+    any_pending = jnp.any(pending)
+    fallback = jnp.any(pending & (pos < seg_len - fix_cap))
+    tail = lambda x: x[seg_len - fix_cap : seg_len]  # noqa: E731
+    mod_count = jnp.sum((modified & valid).astype(jnp.int32))
+    smo_count = jnp.sum((smoothed & valid).astype(jnp.int32))
+    return (packed, stats, ops.carries_out, first_word, any_close,
+            mod_count, smo_count,
+            tail(bwt_t), tail(qs_t), tail(pre_t), tail(pending),
+            any_pending, fallback,
+            word, close_mark, in_cluster)
+
+
+def _fix_tail(bwt_t, qs_t, pre_t, pending, right_carry, cfg: SmoothConfig):
+    """Re-apply the pending tail positions with the true carry word.
+
+    Inputs are [fix_cap] slices; with word 0 the forward pass left these
+    positions untouched, so the deltas returned here add directly."""
+    w = jnp.full(bwt_t.shape, right_carry, jnp.int32)
+    bwt_sub, qs_out, modified, smoothed = apply_words(bwt_t, qs_t, pre_t, w, pending, cfg)
+    if cfg.binning:
+        qs_out = illumina_bin_jax(qs_out)
+    is_char = (bwt_t != alphabet.TERM) & (bwt_t != jnp.uint8(alphabet.SIGMA))
+    packed = jnp.where(
+        is_char, (qs_out.astype(jnp.uint16) << 8) | bwt_sub.astype(jnp.uint16), 0
+    ).astype(jnp.uint16)
+    return packed, jnp.sum(modified.astype(jnp.int32)), jnp.sum(smoothed.astype(jnp.int32))
 
 
 def smooth_fastq_external(
@@ -183,11 +262,18 @@ def smooth_fastq_external(
     t0 = time.time()
     for ci, lo in enumerate(range(0, n_reads, reads_per_chunk)):
         hi = min(lo + reads_per_chunk, n_reads)
-        dev = build_ebwt(
-            jnp.asarray(batch.seqs[lo:hi]),
-            jnp.asarray(batch.quals[lo:hi]),
-            jnp.asarray(batch.lengths[lo:hi]),
-        )
+        seqs_c, quals_c, lens_c = (
+            batch.seqs[lo:hi], batch.quals[lo:hi], batch.lengths[lo:hi])
+        if hi - lo < reads_per_chunk and n_chunks > 1:
+            # pad the remainder chunk to the compiled shape with length -1
+            # dummy rows (no terminator, no suffixes — ops/suffix.py:156),
+            # so ONE compiled sort kernel serves every chunk (the round-3
+            # 10M run spent 431s recompiling for the last chunk)
+            padn = reads_per_chunk - (hi - lo)
+            seqs_c = np.concatenate([seqs_c, np.zeros((padn, width), seqs_c.dtype)])
+            quals_c = np.concatenate([quals_c, np.zeros((padn, width), quals_c.dtype)])
+            lens_c = np.concatenate([lens_c, np.full(padn, -1, lens_c.dtype)])
+        dev = build_ebwt(jnp.asarray(seqs_c), jnp.asarray(quals_c), jnp.asarray(lens_c))
         nloc = int(dev.n)
         sa_chunks.append((np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32))
         del dev
@@ -199,15 +285,16 @@ def smooth_fastq_external(
     del sa_chunks
     n = bwt_h.size
 
-    # ---- stage 2: streaming cluster smoothing ----
+    # ---- stage 2: streaming cluster smoothing (forward pass applies) ----
     seg_len = _seg_len or max(int(mem_bytes / _SMOOTH_BYTES_PER_POS), 1 << 16)
     # right lookahead: close_mark/open_mark at seg_len-1 reach pred at
     # seg_len+m-2 which reads lcp at seg_len+m-1
     halo = cfg.min_cluster + 4
     n_seg = -(-n // seg_len)
+    fix_cap = min(4096, seg_len)
 
     part1 = jax.jit(
-        functools.partial(_part1_segment, cfg=cfg, seg_len=seg_len),
+        functools.partial(_part1_segment, cfg=cfg, seg_len=seg_len, fix_cap=fix_cap),
         static_argnames=(),
     )
 
@@ -221,15 +308,19 @@ def smooth_fastq_external(
         return jnp.asarray(out)
 
     _LOG.info("stage 2: streaming smooth over %d segments of %d", n_seg, seg_len)
-    words_h = np.empty(n_seg * seg_len, np.int32)
-    close_h = np.empty(n_seg * seg_len, bool)
-    inclu_h = np.empty(n_seg * seg_len, bool)
+    packed_h = np.zeros(n_pad, np.uint16)
     firsts, anys = [], []
+    tails = {}  # s -> (bwt, qs, pre, pending) fix-cap slices (host)
+    fallbacks = {}  # s -> (word, close, inclu) full windows (host, rare)
+    seg_mod = np.zeros(n_seg, np.int64)
+    seg_smo = np.zeros(n_seg, np.int64)
     stats_acc: dict = {}
     carries = None
     t0 = time.time()
     for s in range(n_seg):
-        word, close, inclu, stats, carries, fw, ac = part1(
+        (packed, stats, carries, fw, ac, mod, smo,
+         tb, tq, tp, tpend, any_pend, fb,
+         word, close, inclu) = part1(
             seg_slice(bwt_h, s, alphabet.SIGMA),
             seg_slice(qs_h, s, 0),
             seg_slice(lcp_h, s, 0),
@@ -239,17 +330,28 @@ def smooth_fastq_external(
             carries,
         )
         lo = s * seg_len
-        words_h[lo : lo + seg_len] = np.asarray(word[:seg_len])
-        close_h[lo : lo + seg_len] = np.asarray(close[:seg_len])
-        inclu_h[lo : lo + seg_len] = np.asarray(inclu[:seg_len])
+        hi = min(lo + seg_len, n)
+        target = (sa_h[lo:hi].astype(np.int64) - 1) % n_pad
+        packed_h[target] = np.asarray(packed)[: hi - lo]
         firsts.append(int(fw))
         anys.append(bool(ac))
+        seg_mod[s] = int(mod)
+        seg_smo[s] = int(smo)
+        if bool(fb):
+            # a cluster spans (nearly) the whole segment: keep the full
+            # window decisions for a whole-segment re-apply in phase B
+            fallbacks[s] = (np.asarray(word[:seg_len]),
+                            np.asarray(close[:seg_len]),
+                            np.asarray(inclu[:seg_len]))
+        elif bool(any_pend):
+            tails[s] = (np.asarray(tb), np.asarray(tq), np.asarray(tp),
+                        np.asarray(tpend))
         for key, v in stats.items():
             stats_acc[key] = stats_acc.get(key, 0) + int(v)
         _LOG.info("stage 2: segment %d/%d done (%.1fs elapsed)",
                   s + 1, n_seg, time.time() - t0)
 
-    # phase B: reverse sweep — decision-word broadcast across segments
+    # phase B: reverse sweep of (first-close word) carries + tiny fix-ups
     right_carry = np.zeros(n_seg, np.int32)
     carry = 0
     for s in range(n_seg - 1, -1, -1):
@@ -257,30 +359,40 @@ def smooth_fastq_external(
         if anys[s]:
             carry = firsts[s]
 
+    fix_j = jax.jit(functools.partial(_fix_tail, cfg=cfg))
     apply_j = jax.jit(functools.partial(_apply_segment, cfg=cfg, seg_len=seg_len))
-    packed_h = np.zeros(n_pad, np.int32)
-    mod_total = sm_total = 0
-    for s in range(n_seg):
+    for s, (tb, tq, tp, tpend) in tails.items():
+        if right_carry[s] == 0:
+            continue  # no later cluster close: word 0 was already correct
+        pk, mod, smo = fix_j(jnp.asarray(tb), jnp.asarray(tq), jnp.asarray(tp),
+                             jnp.asarray(tpend), jnp.int32(right_carry[s]))
+        lo = s * seg_len + seg_len - fix_cap
+        idx = np.flatnonzero(tpend)
+        target = (sa_h[lo + idx].astype(np.int64) - 1) % n_pad
+        packed_h[target] = np.asarray(pk)[idx]
+        seg_mod[s] += int(mod)
+        seg_smo[s] += int(smo)
+    for s, (word_s, close_s, inclu_s) in fallbacks.items():
         lo = s * seg_len
         hi = min(lo + seg_len, n)
         packed, mod, smo = apply_j(
             seg_slice(bwt_h, s, alphabet.SIGMA),
             seg_slice(qs_h, s, 0),
             seg_slice(pre_h, s, 0),
-            jnp.asarray(np.ascontiguousarray(words_h[lo : lo + seg_len])),
-            jnp.asarray(np.ascontiguousarray(close_h[lo : lo + seg_len])),
-            jnp.asarray(np.ascontiguousarray(inclu_h[lo : lo + seg_len])),
+            jnp.asarray(word_s),
+            jnp.asarray(close_s),
+            jnp.asarray(inclu_s),
             jnp.int32(right_carry[s]),
             jnp.int32(n - lo),
         )
         target = (sa_h[lo:hi].astype(np.int64) - 1) % n_pad
         packed_h[target] = np.asarray(packed)[: hi - lo]
-        mod_total += int(mod)
-        sm_total += int(smo)
-    stats_acc["modified"] = mod_total
-    stats_acc["qs_smoothed"] = sm_total
+        seg_mod[s] = int(mod)  # whole-segment recompute replaces part A's
+        seg_smo[s] = int(smo)
+    stats_acc["modified"] = int(seg_mod.sum())
+    stats_acc["qs_smoothed"] = int(seg_smo.sum())
 
-    # ---- stage 3: emission (the scatter above WAS the inversion) ----
+    # ---- stage 3: emission (the scatters above WERE the inversion) ----
     grid = packed_h.reshape(n_reads, wp)
     seqs = (grid[:, :width] & 0xFF).astype(np.uint8)
     quals = ((grid[:, :width] >> 8) & 0xFF).astype(np.uint8)
@@ -310,8 +422,8 @@ def _apply_segment(bwt, qs, pre, word, close, inclu, right_carry, n_rem,
     valid = jnp.arange(seg_len, dtype=jnp.int32) < n_rem
     is_char = (bwt_t != alphabet.TERM) & (bwt_t != jnp.uint8(alphabet.SIGMA)) & valid
     packed = jnp.where(
-        is_char, (qs_out.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32), 0
-    )
+        is_char, (qs_out.astype(jnp.uint16) << 8) | bwt_sub.astype(jnp.uint16), 0
+    ).astype(jnp.uint16)
     return packed, jnp.sum((modified & valid).astype(jnp.int32)), jnp.sum(
         (smoothed & valid).astype(jnp.int32)
     )

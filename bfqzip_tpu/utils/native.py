@@ -84,6 +84,10 @@ def _find_lib():
                     lib.ext_merge.restype = i64
                     lib.ext_merge.argtypes = [vp, vp, i64, vp, vp, i32,
                                               vp, vp, vp, vp, vp]
+                if hasattr(lib, "ext_merge_mt"):
+                    lib.ext_merge_mt.restype = i64
+                    lib.ext_merge_mt.argtypes = [vp, vp, i64, vp, vp, i32,
+                                                 vp, vp, vp, vp, vp, i32]
             except (OSError, AttributeError):
                 continue
             _LIB = lib
@@ -225,12 +229,14 @@ def ext_merge_available() -> bool:
     return lib is not None and hasattr(lib, "ext_merge")
 
 
-def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks):
+def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0):
     """K-way merge of per-chunk sorted suffix orders (native/extmerge.cpp).
 
     text/qtext: [n_pad] u8 padded layout (0 = terminator/pad); sa_chunks: list
     of i32 arrays of GLOBAL suffix positions, each sorted by suffix.  Returns
-    (bwt, qs, lcp_u8, pre, sa) in merged order.
+    (bwt, qs, lcp_u8, pre, sa) in merged order.  The output is partitioned by
+    splitter suffixes and merged on `threads` host threads (0 = auto;
+    BFQ_EXT_THREADS overrides).
     """
     lib = _find_lib()
     if lib is None or not hasattr(lib, "ext_merge"):
@@ -246,11 +252,19 @@ def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks):
     lcp = np.empty(total, np.uint8)
     pre = np.empty(total, np.uint8)
     sa = np.empty(total, np.int32)
-    rc = lib.ext_merge(
-        _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
-        _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
-        _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
-    )
+    if hasattr(lib, "ext_merge_mt"):
+        rc = lib.ext_merge_mt(
+            _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
+            _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
+            _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
+            ctypes.c_int32(threads),
+        )
+    else:
+        rc = lib.ext_merge(
+            _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
+            _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
+            _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
+        )
     if rc != total:
         raise RuntimeError(f"native ext_merge rc={rc} (expected {total})")
     return bwt, qs, lcp, pre, sa

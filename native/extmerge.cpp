@@ -9,13 +9,25 @@
 // matching ops/suffix.py's distinct-terminator convention), so the only
 // device->host transfer is each chunk's suffix-position array.
 //
+// Parallel strategy (the OMP pattern of the reference's analogous phase,
+// src_ext_mem/decode.cpp:561-643): sample suffixes from every chunk, sort
+// the sample, pick T-1 splitter suffixes, locate each splitter in every
+// chunk with a partition_point binary search — that partitions the OUTPUT
+// into T contiguous ranges merged independently on threads.  The T-1
+// boundary LCPs (each thread starts blind to its predecessor's last suffix)
+// are fixed up serially afterwards.  Comparisons are word-wise: 8 text
+// bytes per step with bit tricks for the first mismatch / terminator.
+//
 // Outputs per merged position: BWT symbol (text[g-1], 0 -> TERM), permuted
 // quality, 1-byte LCP against the previous merged suffix (capped at 255 —
 // the reference's eGap --lbytes 1 convention, BFQzip_ext.py:29-32), the
 // smoothing predecessor text[g-2], and the suffix position itself.
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -23,51 +35,89 @@ namespace {
 constexpr uint8_t kTermCode = 0;   // alphabet.TERM
 constexpr uint8_t kTermChar = '#'; // alphabet.TERM_CHAR
 
+inline uint64_t load64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+// 0x80 in every byte of v that is 0x00 (classic SWAR zero-byte detector)
+inline uint64_t zero_bytes(uint64_t v) {
+    return (v - 0x0101010101010101ull) & ~v & 0x8080808080808080ull;
+}
+
+// suffix comparator on the padded text; 0 stops a row (terminator/pad).
+// Every row ends with at least one 0 inside the array (k = wp-1 is always
+// pad), so the byte tail loop cannot run off the end; the word loop is
+// additionally bounds-guarded for its 8-byte loads.
+inline bool suffix_less(const uint8_t* text, int64_t n_pad, int64_t a, int64_t b) {
+    if (a == b) return false;
+    const uint8_t* pa = text + a;
+    const uint8_t* pb = text + b;
+    int64_t lim = n_pad - (a > b ? a : b);  // bytes both sides can load
+    int64_t i = 0;
+    while (i + 8 <= lim) {
+        uint64_t va = load64(pa + i), vb = load64(pb + i);
+        uint64_t diff = va ^ vb;
+        uint64_t term = zero_bytes(va);
+        if (!(diff | term)) { i += 8; continue; }
+        // first interesting byte: a mismatch or a's terminator, whichever
+        // comes first (little-endian: lowest set bit = earliest byte)
+        int dj = diff ? __builtin_ctzll(diff) >> 3 : 8;
+        int zj = term ? __builtin_ctzll(term) >> 3 : 8;
+        int j = dj < zj ? dj : zj;
+        uint8_t ca = pa[i + j], cb = pb[i + j];
+        if (ca != cb) return ca < cb;
+        // equal terminators: same in-read offset -> position order
+        return a < b;
+    }
+    pa += i; pb += i;
+    while (*pa != 0 && *pa == *pb) { pa++; pb++; }
+    if (*pa != *pb) return *pa < *pb;
+    return a < b;
+}
+
+inline uint8_t lcp255(const uint8_t* text, int64_t n_pad, int64_t a, int64_t b) {
+    const uint8_t* pa = text + a;
+    const uint8_t* pb = text + b;
+    int64_t lim = n_pad - (a > b ? a : b);
+    if (lim > 255 + 8) lim = 255 + 8;
+    int64_t i = 0;
+    while (i + 8 <= lim && i < 255) {
+        uint64_t va = load64(pa + i), vb = load64(pb + i);
+        uint64_t stop = (va ^ vb) | zero_bytes(va);
+        if (!stop) { i += 8; continue; }
+        i += __builtin_ctzll(stop) >> 3;
+        return (uint8_t)(i < 255 ? i : 255);
+    }
+    while (i < 255 && pa[i] != 0 && pa[i] == pb[i]) i++;
+    return (uint8_t)i;
+}
+
 struct Cursor {
     const int32_t* p;
     const int32_t* end;
 };
 
-// suffix comparator on the padded text; 0 stops a row (terminator/pad)
-inline bool suffix_less(const uint8_t* text, int64_t a, int64_t b) {
-    if (a == b) return false;
-    const uint8_t* pa = text + a;
-    const uint8_t* pb = text + b;
-    while (*pa != 0 && *pa == *pb) { pa++; pb++; }
-    if (*pa != *pb) return *pa < *pb;
-    // both hit a terminator with equal content -> same in-read offset, so
-    // position order == read-index order (distinct-terminator tie-break)
-    return a < b;
-}
-
-inline uint8_t lcp255(const uint8_t* text, int64_t a, int64_t b) {
-    int l = 0;
-    const uint8_t* pa = text + a;
-    const uint8_t* pb = text + b;
-    while (l < 255 && *pa != 0 && *pa == *pb) { pa++; pb++; l++; }
-    return (uint8_t)l;
-}
-
-}  // namespace
-
-extern "C" {
-
-// Returns total merged length, negative on error.
-int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
-                  const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
-                  uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                  uint8_t* pre_out, int32_t* sa_out) {
-    if (n_chunks <= 0) return -1;
-    std::vector<Cursor> cur((size_t)n_chunks);
-    for (int32_t c = 0; c < n_chunks; c++) {
-        cur[c] = {sa_all + offs[c], sa_all + offs[c + 1]};
-        if (offs[c + 1] < offs[c]) return -2;
+int merge_threads() {
+    if (const char* e = std::getenv("BFQ_EXT_THREADS")) {
+        int v = std::atoi(e);
+        if (v > 0) return v;
     }
-    int64_t total = offs[n_chunks];
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? (int)hc : 2;
+}
 
-    // loser-tree over chunk heads: internal nodes hold the LOSER chunk id,
-    // `winner` the overall minimum.  k is small (<= a few hundred), so the
-    // tree lives in L1; each emit costs ceil(log2 k) suffix comparisons.
+// Loser-tree merge of one output range; returns 0 or a negative error code.
+// prev_g < 0 leaves lcp_out[0] = 0 for the caller's boundary fix-up.
+int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                std::vector<Cursor>& cur, int64_t total,
+                uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                uint8_t* pre_out, int32_t* sa_out) {
+    int32_t n_chunks = (int32_t)cur.size();
+    // internal nodes hold the LOSER chunk id, `winner` the overall minimum.
+    // k is small (<= a few hundred), so the tree lives in L1; each emit
+    // costs ceil(log2 k) suffix comparisons.
     int k = 1;
     while (k < n_chunks) k <<= 1;
     std::vector<int32_t> node((size_t)k, -1);  // internal loser slots
@@ -75,7 +125,7 @@ int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         // exhausted cursors sort last
         bool ea = cur[a].p == cur[a].end, eb = cur[b].p == cur[b].end;
         if (ea || eb) return !ea;
-        return suffix_less(text, *cur[a].p, *cur[b].p);
+        return suffix_less(text, n_pad, *cur[a].p, *cur[b].p);
     };
     // initial winner via pairwise tournament
     int32_t winner = -1;
@@ -115,7 +165,7 @@ int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         qs_out[i] = cprev == 0 ? kTermChar : qtext[gp];
         uint8_t c2 = text[gp2];
         pre_out[i] = c2 == 0 ? kTermCode : (uint8_t)(c2 - 1);
-        lcp_out[i] = prev_g < 0 ? 0 : lcp255(text, prev_g, g);
+        lcp_out[i] = prev_g < 0 ? 0 : lcp255(text, n_pad, prev_g, g);
         sa_out[i] = (int32_t)g;
         prev_g = g;
 
@@ -130,7 +180,115 @@ int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         }
         winner = w;
     }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns total merged length, negative on error.  nthreads <= 0 auto-detects
+// (BFQ_EXT_THREADS overrides).
+int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                     const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
+                     uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                     uint8_t* pre_out, int32_t* sa_out, int nthreads) {
+    if (n_chunks <= 0) return -1;
+    for (int32_t c = 0; c < n_chunks; c++)
+        if (offs[c + 1] < offs[c]) return -2;
+    int64_t total = offs[n_chunks];
+    // validate every suffix position once, up front (untrusted input must
+    // fail cleanly, not index out of bounds inside the merge threads)
+    for (int64_t i = 0; i < total; i++)
+        if (sa_all[i] < 0 || sa_all[i] >= n_pad) return -4;
+
+    if (nthreads <= 0) nthreads = merge_threads();
+    int T = nthreads;
+    if ((int64_t)T * 4096 > total) T = (int)(total / 4096) ? (int)(total / 4096) : 1;
+
+    if (T <= 1) {
+        std::vector<Cursor> cur((size_t)n_chunks);
+        for (int32_t c = 0; c < n_chunks; c++)
+            cur[c] = {sa_all + offs[c], sa_all + offs[c + 1]};
+        int rc = merge_range(text, qtext, n_pad, cur, total,
+                             bwt_out, qs_out, lcp_out, pre_out, sa_out);
+        return rc < 0 ? rc : total;
+    }
+
+    // ---- splitter selection: sampled quantiles of the merged order ----
+    std::vector<int64_t> samples;
+    for (int32_t c = 0; c < n_chunks; c++) {
+        int64_t len = offs[c + 1] - offs[c];
+        if (len == 0) continue;
+        int64_t s = std::min<int64_t>(len, 32 * T);
+        for (int64_t j = 0; j < s; j++)
+            samples.push_back(sa_all[offs[c] + j * len / s]);
+    }
+    std::sort(samples.begin(), samples.end(), [&](int64_t a, int64_t b) {
+        return suffix_less(text, n_pad, a, b);
+    });
+
+    // bounds[t][c]: partition point of splitter t in chunk c (t=0 -> 0,
+    // t=T -> chunk length); splitters ascend, so bounds are monotone per
+    // chunk and the output ranges [out0[t], out0[t+1]) tile exactly.
+    std::vector<std::vector<int64_t>> bounds((size_t)T + 1,
+                                             std::vector<int64_t>((size_t)n_chunks));
+    for (int32_t c = 0; c < n_chunks; c++) {
+        bounds[0][c] = 0;
+        bounds[T][c] = offs[c + 1] - offs[c];
+    }
+    for (int t = 1; t < T; t++) {
+        int64_t spl = samples[(size_t)t * samples.size() / T];
+        for (int32_t c = 0; c < n_chunks; c++) {
+            const int32_t* lo = sa_all + offs[c];
+            const int32_t* hi = sa_all + offs[c + 1];
+            const int32_t* it = std::partition_point(lo, hi, [&](int32_t g) {
+                return suffix_less(text, n_pad, g, spl);
+            });
+            bounds[t][c] = it - lo;
+        }
+    }
+
+    std::vector<int64_t> out0((size_t)T + 1, 0);
+    for (int t = 0; t <= T; t++)
+        for (int32_t c = 0; c < n_chunks; c++) out0[t] += bounds[t][c];
+    if (out0[T] != total) return -5;  // partition must tile exactly
+
+    std::vector<int> rcs((size_t)T, 0);
+    std::vector<std::thread> pool;
+    for (int t = 0; t < T; t++) {
+        pool.emplace_back([&, t]() {
+            int64_t len = out0[t + 1] - out0[t];
+            if (len == 0) return;
+            std::vector<Cursor> cur((size_t)n_chunks);
+            for (int32_t c = 0; c < n_chunks; c++)
+                cur[c] = {sa_all + offs[c] + bounds[t][c],
+                          sa_all + offs[c] + bounds[t + 1][c]};
+            int64_t o = out0[t];
+            rcs[t] = merge_range(text, qtext, n_pad, cur, len, bwt_out + o,
+                                 qs_out + o, lcp_out + o, pre_out + o, sa_out + o);
+        });
+    }
+    for (auto& th : pool) th.join();
+    for (int t = 0; t < T; t++)
+        if (rcs[t] < 0) return rcs[t];
+
+    // boundary LCPs: each range's first entry vs the previous merged suffix
+    for (int t = 1; t < T; t++) {
+        int64_t i = out0[t];
+        if (i > 0 && i < total && out0[t + 1] > i)
+            lcp_out[i] = lcp255(text, n_pad, sa_out[i - 1], sa_out[i]);
+    }
     return total;
+}
+
+// Compatibility entry point: auto-threaded.
+int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                  const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
+                  uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                  uint8_t* pre_out, int32_t* sa_out) {
+    return ext_merge_mt(text, qtext, n_pad, sa_all, offs, n_chunks,
+                        bwt_out, qs_out, lcp_out, pre_out, sa_out, 0);
 }
 
 }  // extern "C"

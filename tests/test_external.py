@@ -53,6 +53,32 @@ def test_external_matches_engine_varlen():
     _cmp(batch, SmoothConfig(k=4, min_cluster=3), _seg_len=301, _reads_per_chunk=13)
 
 
+def test_external_fallback_giant_cluster():
+    """A cluster spanning (nearly) a whole segment overflows the fix-cap tail
+    buffer and must take the whole-segment phase-B fallback.  Thousands of
+    identical reads produce clusters longer than a segment."""
+    from bfqzip_tpu.io.fastq import ReadBatch
+
+    from bfqzip_tpu import alphabet
+
+    rng = np.random.default_rng(21)
+    bases = np.array(
+        [alphabet.A, alphabet.C, alphabet.G, alphabet.T], dtype=np.uint8
+    )
+    one_seq = bases[rng.integers(0, 4, 30)]
+    n = 6000
+    seqs = np.tile(one_seq, (n, 1))
+    quals = (33 + rng.integers(2, 42, (n, 30))).astype(np.uint8)
+    lengths = np.full(n, 30, np.int32)
+    batch = ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=None)
+    # seg_len > fix_cap (4096) so a spanning cluster cannot fit the tail
+    _cmp(batch, SmoothConfig(), _seg_len=4200, _reads_per_chunk=977)
+    # mode 0 (cluster max QS) exposes partial-count decision words: a close
+    # taken at the window edge instead of the true cluster close would
+    # replace with the wrong (window-local) maximum
+    _cmp(batch, SmoothConfig(mode=0), _seg_len=4200, _reads_per_chunk=977)
+
+
 def test_native_merge_matches_oracle():
     """The k-way loser-tree merge interleaves per-chunk suffix orders into
     exactly the oracle's global order (BWT/QS/LCP byte-equal; LCP capped at
@@ -89,3 +115,68 @@ def test_native_merge_matches_oracle():
     assert np.array_equal(bwt, ref.bwt)
     assert np.array_equal(qs, ref.qs)
     assert np.array_equal(lcp, np.minimum(ref.lcp, 255).astype(np.uint8))
+    # splitter-partitioned parallel merge must be byte-equal to 1 thread
+    mt = native.ext_merge(text, qtext, sa_chunks, threads=4)
+    for a, b in zip((bwt, qs, lcp, pre, sa), mt):
+        assert np.array_equal(a, b)
+
+
+def _chunked_text(batch):
+    N, W = batch.seqs.shape
+    wp = W + 1
+    k = np.arange(wp)[None, :]
+    text = np.where(
+        k < batch.lengths[:, None],
+        np.pad(batch.seqs, ((0, 0), (0, 1))).astype(np.uint8) + 1,
+        0,
+    ).reshape(-1)
+    qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
+    return text, qtext, wp
+
+
+def test_native_merge_parallel_matches_serial_large():
+    """Threaded merge (splitter partition + boundary LCP fix-up) is byte-equal
+    to the single-threaded path on a workload big enough to produce many
+    ranges per thread and repeated long-LCP runs."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    rng = np.random.default_rng(13)
+    # duplicated reads -> many maximal-LCP ties crossing splitter boundaries
+    base = tiny_batch(rng, n_reads=400, min_len=30, max_len=48, n_frac=0.02)
+    from bfqzip_tpu.io.fastq import ReadBatch
+
+    seqs = np.concatenate([base.seqs] * 4)
+    quals = np.concatenate([base.quals] * 4)
+    lengths = np.concatenate([base.lengths] * 4)
+    batch = ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=None)
+    text, qtext, wp = _chunked_text(batch)
+    N = seqs.shape[0]
+    bounds = np.linspace(0, N, 9).astype(int)
+    sa_chunks = []
+    for c in range(8):
+        lo, hi = bounds[c], bounds[c + 1]
+        dev = build_ebwt(
+            jnp.asarray(batch.seqs[lo:hi]),
+            jnp.asarray(batch.quals[lo:hi]),
+            jnp.asarray(batch.lengths[lo:hi]),
+        )
+        sa_chunks.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+    ser = native.ext_merge(text, qtext, sa_chunks, threads=1)
+    for t in (2, 3, 8):
+        par = native.ext_merge(text, qtext, sa_chunks, threads=t)
+        for a, b in zip(ser, par):
+            assert np.array_equal(a, b), f"threads={t}"
+
+
+def test_native_merge_rejects_bad_sa():
+    """Out-of-range suffix positions (untrusted input) must fail cleanly with
+    a negative rc, never index out of bounds (round-3 hardening ask)."""
+    rng = np.random.default_rng(5)
+    batch = tiny_batch(rng, n_reads=20, min_len=10, max_len=14, n_frac=0.0)
+    text, qtext, wp = _chunked_text(batch)
+    for bad in (-1, text.size, text.size + 100):
+        sa = np.array([1, 2, bad], np.int32)
+        with pytest.raises(RuntimeError, match="rc=-4"):
+            native.ext_merge(text, qtext, [sa])
