@@ -259,6 +259,7 @@ def smooth_fastq_external(
     _LOG.info("stage 1: %d reads in %d device chunks of <=%d",
               n_reads, n_chunks, reads_per_chunk)
     sa_chunks = []
+    lcp_chunks = []
     t0 = time.time()
     for ci, lo in enumerate(range(0, n_reads, reads_per_chunk)):
         hi = min(lo + reads_per_chunk, n_reads)
@@ -276,13 +277,19 @@ def smooth_fastq_external(
         dev = build_ebwt(jnp.asarray(seqs_c), jnp.asarray(quals_c), jnp.asarray(lens_c))
         nloc = int(dev.n)
         sa_chunks.append((np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32))
+        # intra-chunk LCPs (255-capped, cast on device: 1 B/pos transfer)
+        # feed the merge's LCP loser tree
+        lcp_chunks.append(
+            np.asarray(jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[:nloc]
+        )
         del dev
         _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
                   ci + 1, n_chunks, time.time() - t0)
     t0 = time.time()
-    bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(text, qtext, sa_chunks)
+    bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(
+        text, qtext, sa_chunks, lcp_chunks=lcp_chunks)
     _LOG.info("stage 1: native k-way merge done (%.1fs)", time.time() - t0)
-    del sa_chunks
+    del sa_chunks, lcp_chunks
     n = bwt_h.size
 
     # ---- stage 2: streaming cluster smoothing (forward pass applies) ----

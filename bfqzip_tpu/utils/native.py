@@ -88,6 +88,10 @@ def _find_lib():
                     lib.ext_merge_mt.restype = i64
                     lib.ext_merge_mt.argtypes = [vp, vp, i64, vp, vp, i32,
                                                  vp, vp, vp, vp, vp, i32]
+                if hasattr(lib, "ext_merge_mt2"):
+                    lib.ext_merge_mt2.restype = i64
+                    lib.ext_merge_mt2.argtypes = [vp, vp, i64, vp, vp, vp, i32,
+                                                  vp, vp, vp, vp, vp, i32]
             except (OSError, AttributeError):
                 continue
             _LIB = lib
@@ -229,14 +233,18 @@ def ext_merge_available() -> bool:
     return lib is not None and hasattr(lib, "ext_merge")
 
 
-def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0):
+def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0,
+              lcp_chunks=None):
     """K-way merge of per-chunk sorted suffix orders (native/extmerge.cpp).
 
     text/qtext: [n_pad] u8 padded layout (0 = terminator/pad); sa_chunks: list
     of i32 arrays of GLOBAL suffix positions, each sorted by suffix.  Returns
     (bwt, qs, lcp_u8, pre, sa) in merged order.  The output is partitioned by
     splitter suffixes and merged on `threads` host threads (0 = auto;
-    BFQ_EXT_THREADS overrides).
+    BFQ_EXT_THREADS overrides).  lcp_chunks (optional, aligned u8 255-capped
+    intra-chunk LCPs from the device sorts) switches the merge to the LCP
+    loser tree — comparisons become integer compares, text is only walked on
+    exact ties.
     """
     lib = _find_lib()
     if lib is None or not hasattr(lib, "ext_merge"):
@@ -252,7 +260,18 @@ def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0):
     lcp = np.empty(total, np.uint8)
     pre = np.empty(total, np.uint8)
     sa = np.empty(total, np.int32)
-    if hasattr(lib, "ext_merge_mt"):
+    if lcp_chunks is not None and hasattr(lib, "ext_merge_mt2"):
+        lcp_all = np.ascontiguousarray(np.concatenate(lcp_chunks), np.uint8)
+        if lcp_all.size != total:
+            raise ValueError("lcp_chunks must align with sa_chunks")
+        rc = lib.ext_merge_mt2(
+            _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
+            _ptr(sa_all), _ptr(lcp_all), _ptr(offs),
+            ctypes.c_int32(len(sa_chunks)),
+            _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
+            ctypes.c_int32(threads),
+        )
+    elif hasattr(lib, "ext_merge_mt"):
         rc = lib.ext_merge_mt(
             _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
             _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),

@@ -225,16 +225,46 @@ struct Mixer {
 };
 
 constexpr int kPosBuckets = 32;  // in-record position, 4-wide buckets
+constexpr int kHash6Bits = 20;   // hashed order-6 buckets (v4 small alphabets)
+
+// Complement pairs over RAW bytes; a dense alphabet closed under this map
+// (a DNA stream) enables the reverse-complement match model.
+inline int comp_byte(int b) {
+    switch (b) {
+        case 'A': return 'T';
+        case 'T': return 'A';
+        case 'C': return 'G';
+        case 'G': return 'C';
+        case 'N': return 'N';
+        case 'a': return 't';
+        case 't': return 'a';
+        case 'c': return 'g';
+        case 'g': return 'c';
+        case 'n': return 'n';
+        default: return -1;
+    }
+}
 
 struct ModelV2 {
     int k, bits, tree, nm;  // nm = number of mixed models (incl. match)
     int reset_dense;        // dense code restarting the position counter
+    bool hi;                // v4: order-4 + hashed order-6 (small alphabets)
+    bool sse;               // v4: APM/SSE stage on the mixed probability
+    bool rc = false;        // v4: reverse-complement match model (DNA only)
+    uint8_t cmp[8] = {0};   // dense-code complement map (when rc)
     std::vector<uint16_t> p1, p2, p3, pm, p4;
+    std::vector<uint16_t> p4o, p6h;  // v4 high-order models
+    std::vector<uint16_t> prc;       // v4 RC-match model
+    std::vector<uint16_t> apm;       // v4 SSE: nctx x 33 interpolation nodes
     std::vector<float> w;
-    std::vector<uint32_t> ht;  // match hash table: pos+1 of last occurrence
+    std::vector<uint32_t> ht;   // match hash table: pos+1 of last occurrence
+    std::vector<uint32_t> htrc; // RC-window hash table (when rc)
     Mixer mx;
 
-    explicit ModelV2(int k_, int reset_dense_ = -1)
+    // uniq maps dense codes back to original bytes; it both sides derive
+    // the RC complement map from, so the container format is unchanged.
+    explicit ModelV2(int k_, int reset_dense_ = -1, bool v4 = false,
+                     const uint8_t* uniq = nullptr)
         : k(k_), reset_dense(reset_dense_) {
         bits = 1;
         while ((1 << bits) < k) bits++;
@@ -251,30 +281,105 @@ struct ModelV2 {
             p4.assign((size_t)kPosBuckets * k * tree, kPOne / 2);
             nm++;
         }
-        w.assign((size_t)16 * tree * nm, 1.0f / nm);
+        // v4 (PPMd-class push on the DNA stream): direct order-4 and a
+        // hashed order-6 for alphabets that fit 3 bits/symbol, both read
+        // from the rolling match window so no extra state is carried.
+        // (Neutral on synthetic genomes, which have no high-order structure;
+        // real genomes do — BASELINE.md ratio notes.)
+        hi = v4 && k <= 8 && !getenv("BFQ_CM_NOHI");
+        if (hi) {
+            p4o.assign((size_t)4096 * tree, kPOne / 2);  // 4 symbols x 3 bits
+            p6h.assign(((size_t)1 << kHash6Bits) * tree, kPOne / 2);
+            nm += 2;
+        }
+        // v4 RC match: Illumina reads come from both strands, so half the
+        // inter-read repeats only exist as reverse complements — a second
+        // match model follows an earlier occurrence BACKWARD, predicting
+        // complement symbols.  DNA alphabets only (uniq closed under
+        // complement); derived from uniq on both sides, no format change.
+        if (v4 && k >= 2 && k <= 6 && uniq != nullptr) {
+            uint8_t dense_of[256];
+            int paired = 0;
+            bool ok = true;
+            for (int d = 0; d < k; d++) dense_of[uniq[d]] = (uint8_t)d;
+            for (int d = 0; d < k && ok; d++) {
+                int cb = comp_byte(uniq[d]);
+                bool present = false;
+                for (int e = 0; e < k; e++) present |= uniq[e] == cb;
+                if (cb >= 0 && present) {
+                    cmp[d] = dense_of[cb];
+                    paired++;
+                } else if (cb < 0) {
+                    cmp[d] = (uint8_t)d;  // separator bytes ('\n') self-map
+                } else {
+                    ok = false;  // a base whose complement is absent
+                }
+            }
+            ok = ok && paired >= 4;  // genuinely a DNA stream
+            if (ok) {
+                rc = true;
+                prc.assign((size_t)16 * tree * 2, kPOne / 2);
+                htrc.assign((size_t)1 << kHashBits, 0);
+                nm++;
+            }
+        }
+        // v4 SSE: secondary estimation of the mixed probability, keyed on
+        // (match bucket, tree node, predicted bit), 33-node interpolation.
+        // Small alphabets only: measured on the 46-symbol quality stream it
+        // COSTS 5.7% (the mix is already calibrated there) while the DNA
+        // stream gains (BASELINE.md ratio notes).
+        sse = v4 && k <= 8;
+        if (sse) {
+            apm.assign((size_t)16 * tree * 2 * 33, 0);
+            for (size_t c = 0; c < apm.size() / 33; c++)
+                for (int j = 0; j <= 32; j++) {
+                    int t = j * 128;  // identity: squash(stretch domain)
+                    apm[c * 33 + j] = mx.sq[t > 4095 ? 4095 : t];
+                }
+        }
+        w.assign((size_t)(rc ? 32 : 16) * tree * nm, 1.0f / nm);
         ht.assign((size_t)1 << kHashBits, 0);
     }
 };
+
+// Rolling per-stream coder state threaded through code_symbol_v2.
+struct CodeState {
+    int prev = 0, prev2 = 0, prev3 = 0;
+    int64_t match = -1;   // forward match: position predicting data[i]
+    int mlen = 0;
+    int64_t rcmatch = -1; // RC match: comp(data[rcmatch]) predicts data[i]
+    int rcmlen = 0;
+    uint64_t win = 0, winrc = 0;
+    int64_t lpos = 0;     // in-record position (positional model)
+};
+
+inline int mlen_bucket(int t) {
+    return t <= 7 ? t + 1
+                  : (t <= 15 ? 9 : (t <= 31 ? 10 : (t <= 63 ? 11
+                  : (t <= 127 ? 12 : (t <= 255 ? 13 : (t <= 511 ? 14 : 15))))));
+}
 
 // Shared per-symbol coding step: predicts, codes (encode or decode), updates.
 // `data` must hold the already-known prefix [0, i) in dense codes; on decode
 // the function writes data[i].
 template <bool kEncode>
 inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
-                           int& prev, int& prev2, int& prev3,
-                           int64_t& match, int& mlen, uint64_t& win,
-                           RangeEncoder* enc, RangeDecoder* dec,
-                           int64_t& lpos) {
-    int mlb;
-    if (match < 0) {
-        mlb = 0;
-    } else {
-        int t = mlen;
-        mlb = t <= 7 ? t + 1
-                     : (t <= 15 ? 9 : (t <= 31 ? 10 : (t <= 63 ? 11
-                     : (t <= 127 ? 12 : (t <= 255 ? 13 : (t <= 511 ? 14 : 15))))));
-    }
+                           CodeState& st,
+                           RangeEncoder* enc, RangeDecoder* dec) {
+    int& prev = st.prev;
+    int& prev2 = st.prev2;
+    int& prev3 = st.prev3;
+    int64_t& match = st.match;
+    int& mlen = st.mlen;
+    uint64_t& win = st.win;
+    int64_t& lpos = st.lpos;
+    int mlb = match < 0 ? 0 : mlen_bucket(mlen);
     int psym = match >= 0 ? data[match] : 0;
+    int rcmlb = 0, psym_rc = 0;
+    if (m.rc) {
+        rcmlb = st.rcmatch < 0 ? 0 : mlen_bucket(st.rcmlen);
+        psym_rc = st.rcmatch >= 0 ? m.cmp[data[st.rcmatch]] : 0;
+    }
     size_t b1 = (size_t)prev * m.tree;
     size_t b2 = ((size_t)prev * m.k + prev2) * m.tree;
     bool has_o3 = m.p3.size() > 0;
@@ -284,29 +389,63 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         int posb = lpos / 4 < kPosBuckets ? (int)(lpos / 4) : kPosBuckets - 1;
         b4 = ((size_t)posb * m.k + prev) * m.tree;
     }
+    size_t b4o = 0, b6 = 0;
+    if (m.hi) {
+        // `win` holds the last kMatchLen symbols, 3 bits each, newest in the
+        // low bits and biased +1 — its low 12/18 bits ARE the order-4/6
+        // contexts of position i (it is updated after each symbol)
+        b4o = (size_t)(win & 0xFFF) * m.tree;
+        uint64_t c6 = win & ((1ull << 18) - 1);
+        b6 = (size_t)((c6 * 0x9E3779B97F4A7C15ull) >> (64 - kHash6Bits)) * m.tree;
+    }
 
     int node = 1;
     int s = kEncode ? data[i] : 0;
     for (int b = m.bits - 1; b >= 0; b--) {
         int pb = (psym >> b) & 1;
-        uint16_t* ps[5];
+        uint16_t* ps[8];
         ps[0] = &m.p1[b1 + node];
         ps[1] = &m.p2[b2 + node];
         int j = 2;
         if (has_o3) ps[j++] = &m.p3[b3 + node];
         ps[j++] = &m.pm[((size_t)mlb * m.tree + node) * 2 + pb];
-        if (m.reset_dense >= 0) ps[j] = &m.p4[b4 + node];
+        if (m.reset_dense >= 0) ps[j++] = &m.p4[b4 + node];
+        if (m.hi) {
+            ps[j++] = &m.p4o[b4o + node];
+            ps[j++] = &m.p6h[b6 + node];
+        }
+        if (m.rc)
+            ps[j++] = &m.prc[((size_t)rcmlb * m.tree + node) * 2
+                             + ((psym_rc >> b) & 1)];
 
-        float st[5];
+        float sv[8];
         float t = 0;
-        float* wv = &m.w[((size_t)mlb * m.tree + node) * m.nm];
+        size_t wctx = m.rc ? ((size_t)(st.rcmatch >= 0 ? 16 : 0) + mlb)
+                           : (size_t)mlb;
+        float* wv = &m.w[(wctx * m.tree + node) * m.nm];
         for (int q = 0; q < m.nm; q++) {
-            st[q] = m.mx.str[*ps[q]] * (1.0f / 256.0f);
-            t += wv[q] * st[q];
+            sv[q] = m.mx.str[*ps[q]] * (1.0f / 256.0f);
+            t += wv[q] * sv[q];
         }
         int ti = (int)std::lround(t * 256.0f) + 2048;
         ti = ti < 0 ? 0 : (ti > 4095 ? 4095 : ti);
-        uint32_t p16 = ((uint32_t)m.mx.sq[ti] << 4) | 8;
+        int pmix = m.mx.sq[ti];
+        int p12 = pmix;
+
+        uint16_t* an = nullptr;
+        if (m.sse) {
+            // SSE/APM: re-map the mixed probability through a per-context
+            // transfer curve (33 nodes over the stretch domain), blended
+            // 3:1 with the raw mix (lpaq-style)
+            int idx = ti >> 7, frac = ti & 127;  // ti IS the stretch-domain mix
+            uint16_t* ap =
+                &m.apm[(((size_t)mlb * m.tree + node) * 2 + pb) * 33];
+            int pa = (ap[idx] * (128 - frac) + ap[idx + 1] * frac) >> 7;
+            an = &ap[idx + (frac >> 6)];
+            p12 = (p12 + 3 * pa) >> 2;
+            p12 = p12 < 1 ? 1 : (p12 > 4095 ? 4095 : p12);
+        }
+        uint32_t p16 = ((uint32_t)p12 << 4) | 8;
 
         int bit;
         if (kEncode) {
@@ -316,11 +455,17 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
             bit = dec->decode_bit16(p16);
         }
 
-        float err = bit - p16 * (1.0f / 65536.0f);
+        // mixer trains on ITS OWN output error (pre-SSE), the APM on the
+        // final coded probability — standard two-stage training
+        float err = bit - pmix * (1.0f / 4096.0f);
         for (int q = 0; q < m.nm; q++) {
-            wv[q] += kLR * err * st[q];
+            wv[q] += kLR * err * sv[q];
             if (bit) *ps[q] += (kPOne - *ps[q]) >> kRate;
             else *ps[q] -= *ps[q] >> kRate;
+        }
+        if (an) {
+            if (bit) *an += (kPOne - *an) >> 6;
+            else *an -= *an >> 6;
         }
         node = node * 2 + bit;
     }
@@ -337,19 +482,61 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         match = -1;
         mlen = 0;
     }
+    if (m.rc) {
+        if (st.rcmatch >= 0 && m.cmp[data[st.rcmatch]] == s) {
+            st.rcmatch--;  // RC matches walk BACKWARD through the earlier hit
+            st.rcmlen++;
+        } else {
+            st.rcmatch = -1;
+            st.rcmlen = 0;
+        }
+    }
     const uint64_t wmask =
         kMatchLen * 3 >= 64 ? ~0ull : ((1ull << (kMatchLen * 3)) - 1);
     win = ((win << 3) | (uint64_t)((s & 7) + 1)) & wmask;
+    if (m.rc)
+        st.winrc = (st.winrc >> 3)
+                   | ((uint64_t)((m.cmp[s] & 7) + 1) << (3 * (kMatchLen - 1)));
     if (i >= kMatchLen - 1) {
         uint64_t key = (win * 0x9E3779B97F4A7C15ull) >> (64 - kHashBits);
         if (match < 0) {
             uint32_t cand = m.ht[key];
             if (cand > 0) {
-                match = (int64_t)cand;
-                mlen = 0;
+                // verify the candidate: the 24-bit hash collides often on
+                // multi-MB streams, and a false match poisons pm confidence
+                int64_t c = (int64_t)cand;
+                bool ok = true;
+                for (int t = 0; t < kMatchLen && ok; t++)
+                    ok = data[c - 1 - t] == data[i - t];
+                if (ok) {
+                    match = c;
+                    mlen = 0;
+                }
             }
         }
         m.ht[key] = (uint32_t)(i + 1);
+        if (m.rc) {
+            if (st.rcmatch < 0) {
+                // forward window == an earlier RC window: continue that
+                // occurrence backward, predicting complements
+                uint32_t cand = m.htrc[key];
+                if (cand > 0 && (int64_t)cand - 1 >= 0) {
+                    int64_t c = (int64_t)cand - 1;  // predicts comp(data[c])
+                    bool ok = true;
+                    for (int t = 0; t < kMatchLen && ok; t++)
+                        ok = m.cmp[data[c + 1 + t]] == data[i - t];
+                    if (ok) {
+                        st.rcmatch = c;
+                        st.rcmlen = 0;
+                    }
+                }
+            }
+            if (i >= kMatchLen) {
+                uint64_t krc =
+                    (st.winrc * 0x9E3779B97F4A7C15ull) >> (64 - kHashBits);
+                m.htrc[krc] = (uint32_t)(i - kMatchLen + 1);
+            }
+        }
     }
     if (m.reset_dense >= 0) lpos = (s == m.reset_dense) ? 0 : lpos + 1;
     prev3 = prev2;
@@ -357,34 +544,31 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
     prev = s;
 }
 
-// Encode one dense-coded stream with a fresh v2 model.
+// Encode one dense-coded stream with a fresh v2 model.  `uniq` (dense ->
+// original byte) enables the v4 RC match model on DNA alphabets.
 void encode_stream_v2(const uint8_t* dense, int64_t n, int k,
-                      std::vector<uint8_t>& payload, int reset_dense = -1) {
+                      std::vector<uint8_t>& payload, int reset_dense = -1,
+                      bool v4 = false, const uint8_t* uniq = nullptr) {
     std::vector<uint8_t> d(dense, dense + n);
-    ModelV2 m(k, reset_dense);
+    ModelV2 m(k, reset_dense, v4, uniq);
     payload.reserve((size_t)(n / 3 + 64));
     RangeEncoder rc(payload);
-    int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-    int64_t match = -1, lpos = 0;
-    uint64_t win = 0;
+    CodeState cs;
     for (int64_t i = 0; i < n; i++)
-        code_symbol_v2<true>(m, d, i, prev, prev2, prev3, match, mlen, win,
-                             &rc, nullptr, lpos);
+        code_symbol_v2<true>(m, d, i, cs, &rc, nullptr);
     rc.flush();
 }
 
 // Decode one v2 stream; writes n ORIGINAL bytes via uniq. Returns 0 / -4.
 int decode_stream_v2(const uint8_t* payload, int64_t plen, int64_t n, int k,
-                     const uint8_t* uniq, uint8_t* out, int reset_dense = -1) {
-    ModelV2 m(k, reset_dense);
+                     const uint8_t* uniq, uint8_t* out, int reset_dense = -1,
+                     bool v4 = false) {
+    ModelV2 m(k, reset_dense, v4, uniq);
     RangeDecoder rc(payload, plen);
     std::vector<uint8_t> d((size_t)n);
-    int prev = 0, prev2 = 0, prev3 = 0, mlen = 0;
-    int64_t match = -1, lpos = 0;
-    uint64_t win = 0;
+    CodeState cs;
     for (int64_t i = 0; i < n; i++) {
-        code_symbol_v2<false>(m, d, i, prev, prev2, prev3, match, mlen, win,
-                              nullptr, &rc, lpos);
+        code_symbol_v2<false>(m, d, i, cs, nullptr, &rc);
         if (d[i] >= k) return -4;
         out[i] = uniq[d[i]];
     }
@@ -495,7 +679,8 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     parallel_blocks(nblocks, nthreads, [&](int64_t b) {
         int64_t lo = b * bsize;
         int64_t nb = std::min(bsize, n - lo) < 0 ? 0 : std::min(bsize, n - lo);
-        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b], reset_dense);
+        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b], reset_dense,
+                         /*v4=*/true, uniq);
     });
 
     int64_t total = 24 + k + 4 * nblocks;
@@ -506,7 +691,7 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     if (total > out_cap) return -2;
     uint8_t* q = out;
     std::memcpy(q, kMagic, 4); q += 4;
-    *q++ = 3; *q++ = (uint8_t)(k - 1);
+    *q++ = 4; *q++ = (uint8_t)(k - 1);
     *q++ = reset_dense >= 0 ? 1 : 0;           // flags bit0: positional model
     *q++ = reset_dense >= 0 ? (uint8_t)reset_dense : 0;
     uint64_t n64 = (uint64_t)n;
@@ -529,14 +714,15 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
 int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_cap) {
     if (size < 20 || std::memcmp(blob, kMagic, 4) != 0) return -1;
     int version = blob[4];
-    if (version < 1 || version > 3) return -1;
+    if (version < 1 || version > 4) return -1;
     int k = blob[5] + 1;
     int tier = blob[6];
-    if (version != 3 && tier > 2) return -1;
+    if (version < 3 && tier > 2) return -1;
     uint64_t n;
     std::memcpy(&n, blob + 8, 8);
 
-    if (version == 3) {
+    if (version >= 3) {  // 3 = legacy blocked, 4 = blocked + v4 model
+        bool v4 = version >= 4;
         if (size < 24) return -1;
         int flags = blob[6];
         if (flags > 1) return -1;
@@ -569,7 +755,7 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
             if (nb < 0) nb = 0;
             int rc = decode_stream_v2(blob + off[(size_t)b],
                                       off[(size_t)b + 1] - off[(size_t)b], nb, k,
-                                      uniq, out + lo, reset_dense);
+                                      uniq, out + lo, reset_dense, v4);
             if (rc < 0) err.store(rc);
         });
         if (err.load() < 0) return err.load();

@@ -97,7 +97,41 @@ inline uint8_t lcp255(const uint8_t* text, int64_t n_pad, int64_t a, int64_t b) 
 struct Cursor {
     const int32_t* p;
     const int32_t* end;
+    const uint8_t* lcp;  // intra-chunk LCP of *p vs its chunk predecessor
+                         // (255-capped lower bound); null when unavailable
 };
+
+// Order + mutual LCP of suffixes a < b starting from a known common prefix
+// `from` (a valid lower bound of lcp(a,b)).  Returns (a<b) and writes the
+// 255-capped mutual lcp.
+inline bool suffix_less_from(const uint8_t* text, int64_t n_pad, int64_t a,
+                             int64_t b, int from, int* out_lcp) {
+    if (a == b) { *out_lcp = 255; return false; }
+    const uint8_t* pa = text + a + from;
+    const uint8_t* pb = text + b + from;
+    int64_t lim = n_pad - (a > b ? a : b) - from;
+    int64_t i = 0;
+    while (i + 8 <= lim) {
+        uint64_t va = load64(pa + i), vb = load64(pb + i);
+        uint64_t diff = va ^ vb;
+        uint64_t term = zero_bytes(va);
+        if (!(diff | term)) { i += 8; continue; }
+        int dj = diff ? __builtin_ctzll(diff) >> 3 : 8;
+        int zj = term ? __builtin_ctzll(term) >> 3 : 8;
+        int j = dj < zj ? dj : zj;
+        int64_t l = from + i + j;
+        *out_lcp = l > 255 ? 255 : (int)l;
+        uint8_t ca = pa[i + j], cb = pb[i + j];
+        if (ca != cb) return ca < cb;
+        return a < b;  // equal terminators: position order
+    }
+    // byte tail (in-bounds: every row ends in a 0 before the array end)
+    while (pa[i] != 0 && pa[i] == pb[i]) i++;
+    int64_t l = from + i;
+    *out_lcp = l > 255 ? 255 : (int)l;
+    if (pa[i] != pb[i]) return pa[i] < pb[i];
+    return a < b;
+}
 
 int merge_threads() {
     if (const char* e = std::getenv("BFQ_EXT_THREADS")) {
@@ -153,6 +187,13 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     for (int64_t i = 0; i < total; i++) {
         if (winner < 0 || cur[winner].p == cur[winner].end) return -3;
         int64_t g = *cur[winner].p++;
+        if (cur[winner].p != cur[winner].end) {
+            // the advancing chunk's next suffix is a likely near-term emit:
+            // warm its output text lines while the tree replay runs
+            int64_t ng = *cur[winner].p;
+            __builtin_prefetch(text + (ng ? ng - 1 : 0));
+            __builtin_prefetch(qtext + (ng ? ng - 1 : 0));
+        }
         if (g <= 0 || g >= n_pad) {
             // g == 0 would need text[-1]; the padded layout always starts a
             // read at 0 whose preceding slot wraps — handle explicitly
@@ -183,16 +224,132 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     return 0;
 }
 
+// LCP-augmented loser tree (the Ng/Kakehi string-merge scheme): each node
+// stores (loser, 255-capped lcp(loser head, the winner that defeated it)).
+// A replay walks only the emitted winner's root path, where every stored
+// lcp is relative to that same winner, so ordering is decided by comparing
+// two integers — the text is walked only on exact ties, starting at the
+// tied offset.  The carried lcp of the element reaching the root IS the
+// next output LCP, so the per-emit lcp255 walk disappears too.  Intra-chunk
+// LCPs (cur[].lcp, from the device chunk sorts) seed the carry when a
+// cursor advances past its just-emitted predecessor.
+int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                    std::vector<Cursor>& cur, int64_t total,
+                    uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                    uint8_t* pre_out, int32_t* sa_out) {
+    int32_t n_chunks = (int32_t)cur.size();
+    int k = 1;
+    while (k < n_chunks) k <<= 1;
+    std::vector<int32_t> node((size_t)k, -1);
+    std::vector<int> nlcp((size_t)k, 0);
+
+    int32_t winner = -1;
+    int wlcp = 0;
+    {
+        std::vector<int32_t> level((size_t)k, -1);
+        for (int32_t c = 0; c < n_chunks; c++) level[c] = c;
+        int width = k;
+        int base = k;
+        while (width > 1) {
+            width >>= 1;
+            base -= width;
+            for (int i = 0; i < width; i++) {
+                int32_t a = level[2 * i], b = level[2 * i + 1];
+                int32_t w, l;
+                int ml = 0;
+                if (b < 0) { w = a; l = b; }
+                else if (a < 0) { w = b; l = a; }
+                else {
+                    bool ea = cur[a].p == cur[a].end, eb = cur[b].p == cur[b].end;
+                    bool aw;
+                    if (ea || eb) aw = !ea;
+                    else aw = suffix_less_from(text, n_pad, *cur[a].p,
+                                               *cur[b].p, 0, &ml);
+                    if (aw) { w = a; l = b; }
+                    else { w = b; l = a; }
+                }
+                node[base + i] = l;
+                nlcp[base + i] = ml;
+                level[i] = w;
+            }
+        }
+        winner = level[0];
+    }
+
+    for (int64_t i = 0; i < total; i++) {
+        if (winner < 0 || cur[winner].p == cur[winner].end) return -3;
+        int64_t g = *cur[winner].p++;
+        cur[winner].lcp++;
+        if (cur[winner].p != cur[winner].end) {
+            // the advancing chunk's next suffix is a likely near-term emit:
+            // warm its output text lines while the tree replay runs
+            int64_t ng = *cur[winner].p;
+            __builtin_prefetch(text + (ng ? ng - 1 : 0));
+            __builtin_prefetch(qtext + (ng ? ng - 1 : 0));
+        }
+        if (g <= 0 || g >= n_pad) {
+            if (g != 0) return -4;
+        }
+        int64_t gp = g == 0 ? n_pad - 1 : g - 1;
+        int64_t gp2 = g <= 1 ? n_pad - (2 - g) : g - 2;
+        uint8_t cprev = text[gp];
+        bwt_out[i] = cprev == 0 ? kTermCode : (uint8_t)(cprev - 1);
+        qs_out[i] = cprev == 0 ? kTermChar : qtext[gp];
+        uint8_t c2 = text[gp2];
+        pre_out[i] = c2 == 0 ? kTermCode : (uint8_t)(c2 - 1);
+        lcp_out[i] = i == 0 ? 0 : (uint8_t)wlcp;
+        sa_out[i] = (int32_t)g;
+
+        // replay: carried cl = lcp(new head, the suffix just emitted)
+        int32_t w = winner;
+        bool wex = cur[w].p == cur[w].end;
+        int cl = wex ? 0 : (int)*cur[w].lcp;
+        for (int idx = (k + w) >> 1; idx >= 1; idx >>= 1) {
+            int32_t l = node[idx];
+            if (l < 0) continue;
+            bool lex = cur[l].p == cur[l].end;
+            int ll = nlcp[idx];
+            bool w_wins;
+            int mutual;
+            if (wex || lex) {
+                w_wins = !wex;
+                mutual = 0;
+            } else if (cl != ll) {
+                w_wins = cl > ll;
+                mutual = cl < ll ? cl : ll;
+            } else {
+                w_wins = suffix_less_from(text, n_pad, *cur[w].p, *cur[l].p,
+                                          cl, &mutual);
+            }
+            if (w_wins) {
+                nlcp[idx] = mutual;  // lcp(l, w) — w is the winner here
+            } else {
+                node[idx] = w;
+                nlcp[idx] = mutual;
+                w = l;
+                cl = ll;
+                wex = lex;
+            }
+        }
+        winner = w;
+        wlcp = cl;
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Returns total merged length, negative on error.  nthreads <= 0 auto-detects
-// (BFQ_EXT_THREADS overrides).
-int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
-                     const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
-                     uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                     uint8_t* pre_out, int32_t* sa_out, int nthreads) {
+// (BFQ_EXT_THREADS overrides).  lcp_all (nullable) holds each chunk's
+// intra-chunk 255-capped LCP aligned with sa_all; when present the merge
+// uses the LCP loser tree (no per-comparison text walks).
+int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                      const int32_t* sa_all, const uint8_t* lcp_all,
+                      const int64_t* offs, int32_t n_chunks,
+                      uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                      uint8_t* pre_out, int32_t* sa_out, int nthreads) {
     if (n_chunks <= 0) return -1;
     for (int32_t c = 0; c < n_chunks; c++)
         if (offs[c + 1] < offs[c]) return -2;
@@ -202,6 +359,21 @@ int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     for (int64_t i = 0; i < total; i++)
         if (sa_all[i] < 0 || sa_all[i] >= n_pad) return -4;
 
+    static const uint8_t kZeroLcp = 0;
+    auto make_cursor = [&](int32_t c, int64_t s, int64_t e) -> Cursor {
+        return {sa_all + offs[c] + s, sa_all + offs[c] + e,
+                lcp_all ? lcp_all + offs[c] + s : &kZeroLcp};
+    };
+    auto run_range = [&](std::vector<Cursor>& cur, int64_t len, int64_t o) {
+        return lcp_all
+                   ? merge_range_lcp(text, qtext, n_pad, cur, len, bwt_out + o,
+                                     qs_out + o, lcp_out + o, pre_out + o,
+                                     sa_out + o)
+                   : merge_range(text, qtext, n_pad, cur, len, bwt_out + o,
+                                 qs_out + o, lcp_out + o, pre_out + o,
+                                 sa_out + o);
+    };
+
     if (nthreads <= 0) nthreads = merge_threads();
     int T = nthreads;
     if ((int64_t)T * 4096 > total) T = (int)(total / 4096) ? (int)(total / 4096) : 1;
@@ -209,9 +381,8 @@ int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     if (T <= 1) {
         std::vector<Cursor> cur((size_t)n_chunks);
         for (int32_t c = 0; c < n_chunks; c++)
-            cur[c] = {sa_all + offs[c], sa_all + offs[c + 1]};
-        int rc = merge_range(text, qtext, n_pad, cur, total,
-                             bwt_out, qs_out, lcp_out, pre_out, sa_out);
+            cur[c] = make_cursor(c, 0, offs[c + 1] - offs[c]);
+        int rc = run_range(cur, total, 0);
         return rc < 0 ? rc : total;
     }
 
@@ -262,11 +433,8 @@ int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
             if (len == 0) return;
             std::vector<Cursor> cur((size_t)n_chunks);
             for (int32_t c = 0; c < n_chunks; c++)
-                cur[c] = {sa_all + offs[c] + bounds[t][c],
-                          sa_all + offs[c] + bounds[t + 1][c]};
-            int64_t o = out0[t];
-            rcs[t] = merge_range(text, qtext, n_pad, cur, len, bwt_out + o,
-                                 qs_out + o, lcp_out + o, pre_out + o, sa_out + o);
+                cur[c] = make_cursor(c, bounds[t][c], bounds[t + 1][c]);
+            rcs[t] = run_range(cur, len, out0[t]);
         });
     }
     for (auto& th : pool) th.join();
@@ -282,13 +450,21 @@ int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     return total;
 }
 
-// Compatibility entry point: auto-threaded.
+// Compatibility entry points (no intra-chunk LCPs / auto-threaded).
+int64_t ext_merge_mt(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                     const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
+                     uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                     uint8_t* pre_out, int32_t* sa_out, int nthreads) {
+    return ext_merge_mt2(text, qtext, n_pad, sa_all, nullptr, offs, n_chunks,
+                         bwt_out, qs_out, lcp_out, pre_out, sa_out, nthreads);
+}
+
 int64_t ext_merge(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
                   const int32_t* sa_all, const int64_t* offs, int32_t n_chunks,
                   uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
                   uint8_t* pre_out, int32_t* sa_out) {
-    return ext_merge_mt(text, qtext, n_pad, sa_all, offs, n_chunks,
-                        bwt_out, qs_out, lcp_out, pre_out, sa_out, 0);
+    return ext_merge_mt2(text, qtext, n_pad, sa_all, nullptr, offs, n_chunks,
+                         bwt_out, qs_out, lcp_out, pre_out, sa_out, 0);
 }
 
 }  // extern "C"

@@ -165,7 +165,14 @@ int64_t rans_decode(const uint8_t* blob, int64_t size, uint8_t* out,
     if (out == nullptr) return (int64_t)n;
     if ((int64_t)n > out_cap) return -2;
 
-    int c = num_contexts(spec_order, k);
+    // hostile-header hardening: every region length below derives from the
+    // untrusted header, so bound it against the actual blob size before any
+    // pointer is formed (the cm_decode standard, round-3 verdict ask #5)
+    if (lanes < 1 || lanes > (1u << 22)) return -3;
+    int64_t c = num_contexts(spec_order, k);
+    int64_t need = 24 + (int64_t)k + 2 * c * k + 4 * (int64_t)lanes
+                   + 2 * (int64_t)plen;
+    if (need > size) return -3;
     const uint8_t* p = blob + 24;
     const uint8_t* uniq = p; p += k;
     const uint16_t* freq = (const uint16_t*)p; p += 2 * (size_t)c * k;
@@ -173,10 +180,17 @@ int64_t rans_decode(const uint8_t* blob, int64_t size, uint8_t* out,
     const uint16_t* payload = (const uint16_t*)p;
 
     std::vector<uint32_t> cum((size_t)c * (k + 1), 0);
-    for (int ci = 0; ci < c; ci++)
-        for (int s = 0; s < k; s++)
-            cum[(size_t)ci * (k + 1) + s + 1] =
-                cum[(size_t)ci * (k + 1) + s] + freq[(size_t)ci * k + s];
+    for (int ci = 0; ci < c; ci++) {
+        uint32_t sum = 0;
+        for (int s = 0; s < k; s++) {
+            uint16_t f = freq[(size_t)ci * k + s];
+            cum[(size_t)ci * (k + 1) + s + 1] = cum[(size_t)ci * (k + 1) + s] + f;
+            sum += f;
+        }
+        // each context row must tile the kM slots exactly, or the slot
+        // table fill below would write past its row (heap corruption)
+        if (sum != kM) return -3;
+    }
     std::vector<uint8_t> slot_sym((size_t)c * kM);
     for (int ci = 0; ci < c; ci++) {
         uint8_t* row = slot_sym.data() + (size_t)ci * kM;

@@ -101,7 +101,7 @@ def test_native_merge_matches_oracle():
     ).reshape(-1)
     qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
     bounds = np.linspace(0, N, 5).astype(int)
-    sa_chunks = []
+    sa_chunks, lcp_chunks = [], []
     for c in range(4):
         lo, hi = bounds[c], bounds[c + 1]
         dev = build_ebwt(
@@ -110,6 +110,9 @@ def test_native_merge_matches_oracle():
             jnp.asarray(batch.lengths[lo:hi]),
         )
         sa_chunks.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+        lcp_chunks.append(
+            np.minimum(np.asarray(dev.lcp), 255).astype(np.uint8)[: int(dev.n)]
+        )
     bwt, qs, lcp, pre, sa = native.ext_merge(text, qtext, sa_chunks)
     ref = ref_golden.build_ebwt(batch)
     assert np.array_equal(bwt, ref.bwt)
@@ -118,6 +121,11 @@ def test_native_merge_matches_oracle():
     # splitter-partitioned parallel merge must be byte-equal to 1 thread
     mt = native.ext_merge(text, qtext, sa_chunks, threads=4)
     for a, b in zip((bwt, qs, lcp, pre, sa), mt):
+        assert np.array_equal(a, b)
+    # LCP loser tree (intra-chunk LCPs from the device) must be byte-equal
+    lcp_tree = native.ext_merge(text, qtext, sa_chunks, threads=3,
+                                lcp_chunks=lcp_chunks)
+    for a, b in zip((bwt, qs, lcp, pre, sa), lcp_tree):
         assert np.array_equal(a, b)
 
 
@@ -154,7 +162,7 @@ def test_native_merge_parallel_matches_serial_large():
     text, qtext, wp = _chunked_text(batch)
     N = seqs.shape[0]
     bounds = np.linspace(0, N, 9).astype(int)
-    sa_chunks = []
+    sa_chunks, lcp_chunks = [], []
     for c in range(8):
         lo, hi = bounds[c], bounds[c + 1]
         dev = build_ebwt(
@@ -163,11 +171,21 @@ def test_native_merge_parallel_matches_serial_large():
             jnp.asarray(batch.lengths[lo:hi]),
         )
         sa_chunks.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+        lcp_chunks.append(
+            np.minimum(np.asarray(dev.lcp), 255).astype(np.uint8)[: int(dev.n)]
+        )
     ser = native.ext_merge(text, qtext, sa_chunks, threads=1)
     for t in (2, 3, 8):
         par = native.ext_merge(text, qtext, sa_chunks, threads=t)
         for a, b in zip(ser, par):
             assert np.array_equal(a, b), f"threads={t}"
+    # LCP loser tree on a max-tie workload (identical reads: every intra-
+    # chunk LCP saturates the 255 cap as a bound) must still be byte-equal
+    for t in (1, 4):
+        lt = native.ext_merge(text, qtext, sa_chunks, threads=t,
+                              lcp_chunks=lcp_chunks)
+        for a, b in zip(ser, lt):
+            assert np.array_equal(a, b), f"lcp threads={t}"
 
 
 def test_native_merge_rejects_bad_sa():

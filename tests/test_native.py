@@ -74,14 +74,104 @@ def _matchy_bytes(n=600_000, seed=0):
 def test_cm_blocked_roundtrip_and_parallel_decode():
     data = _matchy_bytes()
     blob = native.cm_encode(data, block_size=100_000, threads=2)
-    assert blob[4] == 3  # v3 container
+    assert blob[4] == 4  # v4 container (blocked layout + high-order/SSE model)
     assert bytes(native.cm_decode(blob)) == data
     # single-block (v3 with one block) also round-trips
     blob1 = native.cm_encode(data, block_size=len(data) + 1)
     assert bytes(native.cm_decode(blob1)) == data
-    # blocking costs ratio, bounded (fresh model per block)
+    # blocking costs ratio, bounded (fresh model per block; the v4
+    # high-order models warm up slower, so 100K blocks cost more than the
+    # default 16M ones where warmup is negligible)
     assert len(blob) < len(data) // 2
-    assert len(blob) <= int(len(blob1) * 1.25)
+    assert len(blob) <= int(len(blob1) * 1.35)
+
+
+def test_rans_decode_fuzz_never_crashes():
+    """Corrupt BQZR containers must raise (negative rc) or decode to garbage,
+    never crash — same standard as the cm_decode fuzz (round-3 verdict #5).
+    .rans files are user-facing untrusted input to decompress_stream."""
+    rng = np.random.default_rng(7)
+    data = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=80_000).astype(np.uint8).tobytes()
+    blob = bytearray(native.rans_encode(data, spec_order=2, lanes=32))
+    for trial in range(80):
+        bad = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            pos = int(rng.integers(0, len(bad)))
+            bad[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = native.rans_decode(bytes(bad))
+            assert out is None or len(out) >= 0
+        except (ValueError, RuntimeError, MemoryError, OverflowError):
+            pass
+    # truncations at every region boundary
+    for cut in (0, 3, 5, 12, 20, 23, 24, 30, len(blob) // 2, len(blob) - 1):
+        try:
+            native.rans_decode(bytes(blob[:cut]))
+        except (ValueError, RuntimeError, MemoryError, OverflowError):
+            pass
+
+
+def test_rans_decode_rejects_hostile_headers():
+    """Header-derived sizes (lanes, contexts, payload) must be bounded
+    against the blob, zero lanes rejected (division by zero), and freq rows
+    that do not tile the 4096 slots rejected (slot-table overflow)."""
+    import struct
+
+    data = b"ACGT" * 1000
+    blob = bytearray(native.rans_encode(data, spec_order=1, lanes=8))
+    # lanes = 0
+    bad = bytearray(blob)
+    bad[16:20] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        native.rans_decode(bytes(bad))
+    # absurd lanes (would read states far past the blob)
+    bad = bytearray(blob)
+    bad[16:20] = struct.pack("<I", 0xFFFFFF00)
+    with pytest.raises(ValueError):
+        native.rans_decode(bytes(bad))
+    # corrupt a freq-table entry so the context row no longer sums to 4096
+    k = blob[6] + 1
+    foff = 24 + k
+    bad = bytearray(blob)
+    bad[foff : foff + 2] = struct.pack("<H", 0xFFFF)
+    with pytest.raises(ValueError):
+        native.rans_decode(bytes(bad))
+    # intact blob still round-trips after all this
+    assert native.rans_decode(bytes(blob)).tobytes() == data
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_v4_rc_match_dna_roundtrip_and_gain():
+    """The v4 reverse-complement match model: half of Illumina reads are
+    RC-strand, so their inter-read repeats are invisible to the forward
+    match model.  A workload of fragments + their reverse complements must
+    round-trip and compress far better than shuffled (non-RC) content."""
+    comp = {65: 84, 84: 65, 67: 71, 71: 67, 78: 78}  # A<->T C<->G N->N
+    rng = np.random.default_rng(11)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=40_000)
+    reads = []
+    for _ in range(3000):
+        s = int(rng.integers(0, genome.size - 100))
+        frag = genome[s : s + 100]
+        if rng.random() < 0.5:
+            frag = np.array([comp[b] for b in frag[::-1]], np.uint8)
+        reads.append(frag.tobytes())
+    data = b"\n".join(reads) + b"\n"
+    blob = native.cm_encode(data, threads=2)
+    assert bytes(native.cm_decode(blob)) == data
+    # forward-only content for comparison: same fragments, never flipped
+    reads_f = []
+    rng = np.random.default_rng(11)
+    for _ in range(3000):
+        s = int(rng.integers(0, genome.size - 100))
+        reads_f.append(genome[s : s + 100].tobytes())
+        rng.random()
+    data_f = b"\n".join(reads_f) + b"\n"
+    blob_f = native.cm_encode(data_f, threads=2)
+    assert bytes(native.cm_decode(blob_f)) == data_f
+    # RC-strand data must not cost much more than forward-only data: the RC
+    # match model recovers the other strand's repeats
+    assert len(blob) < int(len(blob_f) * 1.35)
 
 
 @pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")

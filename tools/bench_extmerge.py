@@ -72,7 +72,7 @@ def main():
     qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
 
     bounds = np.linspace(0, N, args.chunks + 1).astype(int)
-    sa_chunks = []
+    sa_chunks, lcp_chunks = [], []
     t0 = time.time()
     for c in range(args.chunks):
         lo, hi = bounds[c], bounds[c + 1]
@@ -84,22 +84,35 @@ def main():
         sa_chunks.append(
             (np.asarray(dev.sa)[: int(dev.n)].astype(np.int64) + lo * wp).astype(np.int32)
         )
+        lcp_chunks.append(
+            np.asarray(jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[: int(dev.n)]
+        )
         del dev
         print(f"chunk {c + 1}/{args.chunks} sorted ({time.time() - t0:.1f}s)",
               file=sys.stderr)
     total = sum(len(s) for s in sa_chunks)
 
     results = {}
-    # round-4 threaded
+    # round-4 LCP loser tree, threaded (the production configuration)
     t = time.time()
-    r4 = native.ext_merge(text, qtext, sa_chunks, threads=args.threads)
-    results["r4_threaded_s"] = round(time.time() - t, 2)
-    # round-4 single thread (isolates the word-compare gain)
+    r4 = native.ext_merge(text, qtext, sa_chunks, threads=args.threads,
+                          lcp_chunks=lcp_chunks)
+    results["r4_lcptree_threaded_s"] = round(time.time() - t, 2)
+    # LCP tree, single thread
+    t = time.time()
+    r4l1 = native.ext_merge(text, qtext, sa_chunks, threads=1,
+                            lcp_chunks=lcp_chunks)
+    results["r4_lcptree_1thread_s"] = round(time.time() - t, 2)
+    # word-compare merge without chunk LCPs (threaded / single)
+    t = time.time()
+    r4w = native.ext_merge(text, qtext, sa_chunks, threads=args.threads)
+    results["r4_wordcmp_threaded_s"] = round(time.time() - t, 2)
     t = time.time()
     r4s = native.ext_merge(text, qtext, sa_chunks, threads=1)
-    results["r4_1thread_s"] = round(time.time() - t, 2)
-    for a, b in zip(r4, r4s):
-        assert np.array_equal(a, b), "threaded merge differs from 1-thread"
+    results["r4_wordcmp_1thread_s"] = round(time.time() - t, 2)
+    for other in (r4l1, r4w, r4s):
+        for a, b in zip(r4, other):
+            assert np.array_equal(a, b), "merge variants disagree"
 
     if not args.skip_r3:
         so = build_r3_lib(repo)
@@ -123,12 +136,12 @@ def main():
         for a, b in zip(r4, outs):
             assert np.array_equal(a, b), "round-4 merge differs from round-3"
         results["speedup_vs_r3"] = round(
-            results["r3_baseline_s"] / results["r4_threaded_s"], 2
+            results["r3_baseline_s"] / results["r4_lcptree_threaded_s"], 2
         )
 
     print(json.dumps({
         "metric": "extmerge_positions_per_sec",
-        "value": round(total / results["r4_threaded_s"], 1),
+        "value": round(total / results["r4_lcptree_threaded_s"], 1),
         "unit": "positions/s",
         "positions": total,
         "chunks": args.chunks,
