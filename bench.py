@@ -75,6 +75,12 @@ def main():
     seqs_d, quals_d, lengths_d = jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(lengths)
     np.asarray(lengths_d[:2])
 
+    # resolve the Pallas-vs-XLA scan decision eagerly (one-shot per platform,
+    # cached; cannot run mid-trace under stackless tracing)
+    from bfqzip_tpu.ops import pallas_scan
+
+    pallas_scan.ensure_calibrated()
+
     # warmup (includes compile)
     inv, _ = smooth_step(seqs_d, quals_d, lengths_d, cfg)
     np.asarray(inv.lengths[:2])

@@ -13,7 +13,9 @@ from the native .rans containers.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import time
 
 
 def build_parser():
@@ -71,8 +73,6 @@ def build_parser():
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
-
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("JAX_ENABLE_X64", "1")  # M=1 parity with C doubles
@@ -95,8 +95,12 @@ def main(argv=None) -> int:
         if len(args.input) != 1:
             print("error: --restore takes the output base name", file=sys.stderr)
             return 2
+        t0 = time.time()
         out = restore_fastq(args.input[0], args.out or None)
+        dt = max(time.time() - t0, 1e-9)
+        mb = os.path.getsize(out) / 1e6
         print(f"{args.input[0]} -> {out}")
+        print(f"restored {mb:.1f} MB in {dt:.2f} s ({mb / dt:.1f} MB/s)")
         return 0
 
     from bfqzip_tpu.config import PipelineConfig, SmoothConfig

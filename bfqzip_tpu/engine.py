@@ -71,7 +71,9 @@ def smooth_fastq(
     trimmed back to the original read count.
     """
     from bfqzip_tpu.io.fastq import pad_batch
+    from bfqzip_tpu.ops import pallas_scan
 
+    pallas_scan.ensure_calibrated()  # auto Pallas/XLA pick; no-op mid-trace
     cfg = cfg or SmoothConfig()
     run = pad_batch(batch) if bucket else batch
     inv, stats = smooth_step(

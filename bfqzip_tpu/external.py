@@ -238,6 +238,9 @@ def smooth_fastq_external(
 
     The underscore knobs pin the chunk/segment sizes directly (tests force
     many tiny segments to exercise every carry path)."""
+    from bfqzip_tpu.ops import pallas_scan
+
+    pallas_scan.ensure_calibrated()  # auto Pallas/XLA pick; no-op mid-trace
     cfg = cfg or SmoothConfig()
     if not native.ext_merge_available():
         raise RuntimeError("external mode needs the native library (make -C native)")

@@ -65,7 +65,10 @@ def invert_via_sa(
     is_char = (bwt != alphabet.TERM) & (bwt != jnp.uint8(alphabet.SIGMA)) & (idx < n)
     target = (sa - 1) % n_pad  # dense: every text slot receives exactly one entry
     packed = jnp.where(is_char, (qs.astype(jnp.int32) << 8) | bwt_sub.astype(jnp.int32), 0)
-    _, grid_flat = jax.lax.sort((target, packed), num_keys=1)
+    # the key is a permutation (all distinct), so the unstable comparator is
+    # safe and ~29% faster (76 vs 107 ms at 20.4M on v5e,
+    # tools/exp_unstable_sort.py)
+    _, grid_flat = jax.lax.sort((target, packed), num_keys=1, is_stable=False)
     grid = grid_flat.reshape(n_reads, wp)
     seqs = (grid[:, :width] & 0xFF).astype(jnp.uint8)
     quals = ((grid[:, :width] >> 8) & 0xFF).astype(jnp.uint8)

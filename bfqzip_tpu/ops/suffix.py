@@ -24,9 +24,11 @@ of one extra sort operand at 20M elements, measured on v5e), so the flat path
 issues NONE: the ENTIRE suffix window (L+1 symbols) is packed into
 ceil((L+1)/PACK6) base-6 u32 key words (PACK6 = 12 digits per word,
 6^12 < 2^32; terminator/padding -> digit 0 < bases 1..5; symbols after the
-terminator zeroed) and suffix order is ONE variadic XLA sort.  Prefix-equal suffixes of different reads must order by read index
-(gsufsort's distinct-terminator convention) — sort stability delivers that
-for free, since equal window content implies position order = read order;
+terminator zeroed) and suffix order is ONE variadic XLA sort.  Prefix-equal
+suffixes of different reads must order by read index (gsufsort's
+distinct-terminator convention): the suffix position rides as the final
+sort key (equal window content implies position order = read order), making
+the key set a total order so the faster UNSTABLE comparator applies;
 padding rows get a forced max first word so they sort after all real
 suffixes, in deterministic position order.
 Everything downstream needs only *data at SA order*, so it is carried through
@@ -140,12 +142,12 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     v5e, sort cost scales with operand+key count, so base-6 beats the round-1
     3-bit packing by two words at 101bp).  Equal window content implies equal
     distance to the terminator, so among fully tied suffixes position order
-    equals read order (the distinct-terminator convention); XLA's sort is
-    stable, which realises that order with NO tie-break key — the suffix
-    position rides as a payload (doubling as the SA) and the comparator stays
-    at the 9 content words.  The second payload word carries the two
-    preceding text symbols + preceding quality, so BWT/QS/pre come out of
-    the sort directly.
+    equals read order (the distinct-terminator convention); the suffix
+    position (doubling as the SA) rides as the FINAL key, which makes the
+    key set a total order and lets the unstable comparator realise that
+    order (~5% faster than stable keys, tools/exp_unstable_sort.py).  The
+    payload word carries the two preceding text symbols + preceding
+    quality, so BWT/QS/pre come out of the sort directly.
     """
     n_reads, width = seqs.shape
     wp = width + 1
@@ -191,14 +193,15 @@ def _build_ebwt_flat(seqs: jax.Array, quals: jax.Array, lengths: jax.Array) -> E
     p1 = jnp.roll(tflat, 1).astype(jnp.int32)
     aux = p1 | (jnp.roll(qtext, 1).astype(jnp.int32) << 3) | (jnp.roll(tflat, 2).astype(jnp.int32) << 11)
 
-    # num_keys excludes the suffix position: jax.lax.sort is stable, and for
+    # idx0 rides as the FINAL KEY, making the key set a total order: for
     # fully equal windows (content implies equal distance-to-terminator)
     # position order g = r*wp + k IS read-index order — gsufsort's
-    # distinct-terminator convention — so stability replaces the tie-break
-    # key, shrinking the comparator from 10 to 9 words at 101bp.
-    # is_stable=True is LOAD-BEARING: it realises the read-index tie-break and
-    # the deterministic padding placement (see docstring above) with no key.
-    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words, is_stable=True)
+    # distinct-terminator convention — and equal padding rows order by
+    # position deterministically.  With a total order the comparator may be
+    # UNSTABLE, which measures ~5% faster than the stable 9-key sort that
+    # realised the same tie-break through stability (337 vs 355 ms at 20.4M
+    # on v5e; byte-identical outputs, tools/exp_unstable_sort.py).
+    sorted_ops = jax.lax.sort((*words, idx0, aux), num_keys=n_words + 1, is_stable=False)
     skeys, sa, saux = sorted_ops[:n_words], sorted_ops[-2], sorted_ops[-1]
 
     # ---- BWT / permuted qualities / smoother predecessors from the payload ----

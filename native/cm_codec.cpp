@@ -39,8 +39,10 @@
 // v1 containers (order-2 + run-bucket, tier ladder) remain decodable.
 
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
@@ -749,7 +751,13 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
         }
         const uint8_t* uniq = blob + 24;
         std::atomic<int> err(0);
+        // BFQ_CM_BLOCKTIME=<path>: append one per-block decode wall-time (ns)
+        // per line — the measured input for thread-scaling extrapolation on
+        // hosts with fewer cores than production (tools/bench_decode_scaling.py)
+        const char* bt_path = getenv("BFQ_CM_BLOCKTIME");
+        std::vector<int64_t> block_ns(bt_path ? (size_t)nblocks : 0);
         parallel_blocks((int64_t)nblocks, default_threads(), [&](int64_t b) {
+            auto t0 = std::chrono::steady_clock::now();
             int64_t lo = (int64_t)b * bsize;
             int64_t nb = std::min<int64_t>(bsize, (int64_t)n - lo);
             if (nb < 0) nb = 0;
@@ -757,7 +765,18 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
                                       off[(size_t)b + 1] - off[(size_t)b], nb, k,
                                       uniq, out + lo, reset_dense, v4);
             if (rc < 0) err.store(rc);
+            if (bt_path)
+                block_ns[(size_t)b] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                                          std::chrono::steady_clock::now() - t0)
+                                          .count();
         });
+        if (bt_path) {
+            if (FILE* f = fopen(bt_path, "a")) {
+                for (uint32_t b = 0; b < nblocks; b++)
+                    fprintf(f, "%lld\n", (long long)block_ns[b]);
+                fclose(f);
+            }
+        }
         if (err.load() < 0) return err.load();
         return (int64_t)n;
     }

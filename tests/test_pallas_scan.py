@@ -67,3 +67,37 @@ def test_plain_cummax_no_flags(pallas_interp):
     x, _ = _data(n)
     got = np.asarray(pallas_interp.seg_scan_1p(x, jnp.zeros(n, bool), "max"))
     assert np.array_equal(got, np.maximum.accumulate(np.asarray(x)))
+
+
+def test_auto_decision_env_and_backend(monkeypatch, tmp_path):
+    """BFQ_PALLAS=0/1 forces the decision; auto on a CPU backend never
+    calibrates (available() gates on backend first) and auto caches the
+    calibration verdict per device kind (round-3 verdict Weak #6)."""
+    import json
+
+    import bfqzip_tpu.ops.pallas_scan as ps
+
+    monkeypatch.setattr(ps, "_INTERPRET", False)
+
+    monkeypatch.setattr(ps, "_DECISION", None)
+    monkeypatch.setenv("BFQ_PALLAS", "1")
+    assert ps._decide() is True
+
+    monkeypatch.setattr(ps, "_DECISION", None)
+    monkeypatch.setenv("BFQ_PALLAS", "0")
+    assert ps._decide() is False
+    # CPU backend: available() is False regardless of the decision
+    assert ps.available(1 << 20) is False
+
+    # auto mode reads a cached verdict without touching the device
+    monkeypatch.setattr(ps, "_DECISION", None)
+    monkeypatch.delenv("BFQ_PALLAS", raising=False)
+    monkeypatch.setenv("BFQ_CACHE_DIR", str(tmp_path))
+    import jax
+
+    dev = jax.devices()[0]
+    key = f"{getattr(dev, 'device_kind', dev.platform)}|{jax.default_backend()}"
+    (tmp_path / "pallas_auto.json").write_text(
+        json.dumps({key: {"use_pallas": True, "pallas_ms": 1.0, "xla_ms": 2.0, "n": 0}})
+    )
+    assert ps._decide() is True
