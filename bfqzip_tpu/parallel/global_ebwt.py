@@ -405,7 +405,9 @@ def _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l):
     pos = (base + jnp.arange(m, dtype=jnp.int64)).astype(jnp.int32)
 
     # ---- distributed multiword sample sort ----
-    srt = jax.lax.sort((*words, pos, aux), num_keys=n_words + 1)
+    # pos is the final key -> total order, so the unstable comparator is
+    # safe and faster (same argument as ops/suffix.py's flat sort)
+    srt = jax.lax.sort((*words, pos, aux), num_keys=n_words + 1, is_stable=False)
     kw, ps, ax = srt[:n_words], srt[-2], srt[-1]
 
     step = max(m // d, 1)
@@ -434,7 +436,9 @@ def _sort_body_flat(ctx, n_reads, width, seqs_l, quals_l, lens_l):
     rw = [jnp.where(vmask, r, I64_MAX) for r in recv[:n_words]]
     rp = jnp.where(vmask, recv[n_words], jnp.iinfo(jnp.int32).max)
     ra = recv[n_words + 1]
-    srt = jax.lax.sort((*rw, rp, ra), num_keys=n_words + 1)
+    # ties exist only among invalid lanes (all-sentinel keys), whose relative
+    # order is never observed past `count` — unstable is safe
+    srt = jax.lax.sort((*rw, rp, ra), num_keys=n_words + 1, is_stable=False)
     kws, sa, axs = srt[:n_words], srt[-2], srt[-1]
     count = jnp.sum(vmask.astype(jnp.int32))
     overflow += jnp.maximum(count - cap_sorted, 0)
