@@ -125,6 +125,8 @@ def main():
                 "value": round(bases_per_sec, 1),
                 "unit": "bases/s",
                 "vs_baseline": round(bases_per_sec / REF_BASES_PER_SEC, 3),
+                "baseline_scope": "reference bfq_int steps 2-5 only (2.114 Mbases/s, "
+                "no EBWT build); ours includes step-1 EBWT+LCP construction",
                 "reads": args.reads,
                 "read_len": args.read_len,
                 "stages": stages,

@@ -242,10 +242,15 @@ def _calibrate() -> bool:
         try:
             with open(path) as f:
                 cache = json.load(f)
+            if not isinstance(cache, dict):
+                cache = {}
         except Exception:
             pass
-        if key in cache:
-            return bool(cache[key]["use_pallas"])
+        # a malformed entry (corrupt cache file) is a miss, not a permanent
+        # XLA fallback: validate the shape before trusting it
+        ent = cache.get(key)
+        if isinstance(ent, dict) and isinstance(ent.get("use_pallas"), bool):
+            return ent["use_pallas"]
 
         tp = _stage_probe_ms(True)
         tx = _stage_probe_ms(False)
@@ -263,7 +268,12 @@ def _calibrate() -> bool:
         except Exception:
             pass
         return use
-    except Exception:  # pragma: no cover - calibration must never break callers
+    except Exception as e:  # pragma: no cover - calibration must never break callers
+        import logging
+
+        logging.getLogger("bfqzip.pallas").warning(
+            "Pallas auto-calibration failed (%s); defaulting to XLA scans", e
+        )
         return False
 
 
@@ -285,18 +295,51 @@ def _decide() -> bool:
     elif env in ("1", "true", "on"):
         _DECISION = True
     else:
+        # the calibration probe is only meaningful (and only affordable) on
+        # the TPU backends where the Pallas kernels can run at all — mirror
+        # the gate in available() so e.g. --cpu runs never pay the probe
         try:
-            from jax._src import core as _core
-
-            clean = _core.trace_state_clean()
+            if jax.default_backend() not in ("tpu", "axon"):
+                _DECISION = False
+                return False
         except Exception:  # pragma: no cover
-            clean = False
+            _DECISION = False
+            return False
+        clean = _trace_state_clean()
         if not clean:
             # mid-trace: fall back to XLA for this trace, leave the decision
             # unresolved so a later eager entry point can calibrate
             return False
         _DECISION = _calibrate()
     return _DECISION
+
+
+_WARNED_TRACE_API = False
+
+
+def _trace_state_clean() -> bool:
+    """True when not inside a jax trace.  Prefers the public API; the private
+    fallback (and the warn-once on total failure) guard against JAX upgrades
+    silently disabling auto-calibration forever."""
+    global _WARNED_TRACE_API
+    for mod in ("jax.core", "jax._src.core"):
+        try:
+            import importlib
+
+            fn = getattr(importlib.import_module(mod), "trace_state_clean", None)
+            if fn is not None:
+                return bool(fn())
+        except Exception:
+            continue
+    if not _WARNED_TRACE_API:
+        _WARNED_TRACE_API = True
+        import logging
+
+        logging.getLogger("bfqzip.pallas").warning(
+            "jax trace_state_clean API unavailable; Pallas auto-calibration "
+            "disabled (set BFQ_PALLAS=0/1 to choose explicitly)"
+        )
+    return False
 
 
 def available(n: int | None = None) -> bool:

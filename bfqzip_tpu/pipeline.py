@@ -378,7 +378,10 @@ def run_pipeline(
         import jax
 
         jax.config.update("jax_enable_x64", True)  # i64 sort keys
+        from bfqzip_tpu.ops import pallas_scan
         from bfqzip_tpu.parallel import make_mesh, smooth_fastq_sharded
+
+        pallas_scan.ensure_calibrated()  # resolve before shard_map tracing
 
         mesh = make_mesh((1, mesh_shards))
         with log.step(f"steps1-3: sequence-sharded over {mesh_shards} devices"):
@@ -524,7 +527,9 @@ def _blockwise_step1_3(batch, base, cfg, blocks, log, paired_split=None):
     import jax
 
     from bfqzip_tpu.engine import smooth_fastq
+    from bfqzip_tpu.ops import pallas_scan
 
+    pallas_scan.ensure_calibrated()  # resolve before jit/shard_map tracing
     n = batch.num_reads
     perm, bounds = _block_permutation(n, blocks, paired_split)
     work = ReadBatch(

@@ -89,15 +89,34 @@ def test_auto_decision_env_and_backend(monkeypatch, tmp_path):
     # CPU backend: available() is False regardless of the decision
     assert ps.available(1 << 20) is False
 
-    # auto mode reads a cached verdict without touching the device
+    # auto mode on a non-TPU backend resolves False WITHOUT calibrating
+    # (ADVICE r4: CPU runs must not pay the on-device probe)
     monkeypatch.setattr(ps, "_DECISION", None)
     monkeypatch.delenv("BFQ_PALLAS", raising=False)
+    real_calibrate = ps._calibrate
+    monkeypatch.setattr(ps, "_calibrate", lambda: (_ for _ in ()).throw(AssertionError("probe ran on cpu")))
+    assert ps._decide() is False
+
+    # auto mode on a TPU backend reads a cached verdict without touching
+    # the device (the cache read lives inside _calibrate; the probe itself
+    # is stubbed out so a miss would fail loudly)
+    monkeypatch.setattr(ps, "_calibrate", real_calibrate)
+    monkeypatch.setattr(ps, "_stage_probe_ms",
+                        lambda use: (_ for _ in ()).throw(AssertionError("probe ran")))
+    monkeypatch.setattr(ps, "_DECISION", None)
     monkeypatch.setenv("BFQ_CACHE_DIR", str(tmp_path))
     import jax
 
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     dev = jax.devices()[0]
-    key = f"{getattr(dev, 'device_kind', dev.platform)}|{jax.default_backend()}"
+    key = f"{getattr(dev, 'device_kind', dev.platform)}|tpu"
     (tmp_path / "pallas_auto.json").write_text(
         json.dumps({key: {"use_pallas": True, "pallas_ms": 1.0, "xla_ms": 2.0, "n": 0}})
     )
     assert ps._decide() is True
+
+    # a malformed cache entry is a miss (recalibrates), not a pinned False
+    monkeypatch.setattr(ps, "_DECISION", None)
+    (tmp_path / "pallas_auto.json").write_text(json.dumps({key: "garbage"}))
+    monkeypatch.setattr(ps, "_stage_probe_ms", lambda use: 1.0 if use else 2.0)
+    assert ps._decide() is True  # recomputed: pallas faster in the stub
