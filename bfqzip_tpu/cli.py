@@ -98,8 +98,9 @@ def main(argv=None) -> int:
         t0 = time.time()
         out = restore_fastq(args.input[0], args.out or None)
         dt = max(time.time() - t0, 1e-9)
-        mb = os.path.getsize(out) / 1e6
-        print(f"{args.input[0]} -> {out}")
+        outs = out if isinstance(out, tuple) else (out,)
+        mb = sum(os.path.getsize(p) for p in outs) / 1e6
+        print(f"{args.input[0]} -> {' + '.join(outs)}")
         print(f"restored {mb:.1f} MB in {dt:.2f} s ({mb / dt:.1f} MB/s)")
         return 0
 

@@ -225,7 +225,26 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
     return outputs
 
 
-def restore_fastq(base: str, out_path: Optional[str] = None) -> str:
+def _pair_paths(out_path: str):
+    """BASE.fastq -> (BASE_1.fastq, BASE_2.fastq), extension preserved."""
+    root, ext = os.path.splitext(out_path)
+    return root + "_1" + ext, root + "_2" + ext
+
+
+def _split_pair(data: bytes, n1: int):
+    """Split a merged FASTQ body (file-1 records then file-2 records) at the
+    recorded mate boundary — the inverse of the paired merge
+    (BFQzip_parallel.py:153-178 re-splits block outputs the same way)."""
+    cut = 0
+    for _ in range(4 * n1):
+        nl = data.find(b"\n", cut)
+        if nl < 0:
+            raise ValueError(f"merged archive has fewer than {n1} file-1 records")
+        cut = nl + 1
+    return data[:cut], data[cut:]
+
+
+def restore_fastq(base: str, out_path: Optional[str] = None):
     """Reassemble a FASTQ from compressed stream containers.
 
     The reference stops at per-stream archives and leaves reassembly to the
@@ -233,11 +252,42 @@ def restore_fastq(base: str, out_path: Optional[str] = None) -> str:
     this puts the 4-line records back together: mode-1 archives (BASE.fq.rans)
     decode directly, mode-2/3 archives interleave BASE.fq.dna.rans +
     BASE.fq.qs.rans with BASE.h.rans headers when present ('@' otherwise).
+
+    Paired archives (BASE.paired.meta.json present) restore to a _1/_2 FASTQ
+    pair — the shape the reference's parallel driver emits
+    (BFQzip_parallel.py:153-178): mode-1 pairs decode the per-file
+    BASE_1.fq.rans/BASE_2.fq.rans archives, merged mode-2/3 archives are
+    split at the recorded mate boundary.  Returns the single output path, or
+    the (path_1, path_2) tuple for paired archives.
     """
     out_path = out_path or base + ".restored.fastq"
+    paired_n1 = None
+    meta_p = _meta_path(base + ".paired")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            paired_n1 = int(json.load(f)["reads_file1"])
+
+    # paired mode 1: one archive per mate file
+    if paired_n1 is not None and os.path.exists(base + "_1.fq.rans"):
+        p1, p2 = _pair_paths(out_path)
+        for path, arc in ((p1, base + "_1.fq.rans"), (p2, base + "_2.fq.rans")):
+            if not os.path.exists(arc):
+                raise FileNotFoundError(f"paired archive missing: {arc}")
+            with open(path, "wb") as f:
+                f.write(_decode_blob_file(arc))
+        return p1, p2
+
     one = base + ".fq.rans"
     if os.path.exists(one):
         data = _decode_blob_file(one)
+        if paired_n1 is not None:  # merged archive of a paired run
+            half1, half2 = _split_pair(data, paired_n1)
+            p1, p2 = _pair_paths(out_path)
+            with open(p1, "wb") as f:
+                f.write(half1)
+            with open(p2, "wb") as f:
+                f.write(half2)
+            return p1, p2
         with open(out_path, "wb") as f:
             f.write(data)
         return out_path
@@ -273,6 +323,17 @@ def restore_fastq(base: str, out_path: Optional[str] = None) -> str:
                 f.write(b"".join(parts))
                 parts = []
         f.write(b"".join(parts))
+    if paired_n1 is not None:
+        with open(out_path, "rb") as f:
+            body = f.read()
+        half1, half2 = _split_pair(body, paired_n1)
+        p1, p2 = _pair_paths(out_path)
+        with open(p1, "wb") as f:
+            f.write(half1)
+        with open(p2, "wb") as f:
+            f.write(half2)
+        os.remove(out_path)
+        return p1, p2
     return out_path
 
 
