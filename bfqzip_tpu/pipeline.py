@@ -46,7 +46,7 @@ class PipelineResult:
     streams: List[str]
     outputs: Dict[str, List[str]]  # codec -> files
     stats: Dict[str, int]
-    report: Dict[str, float]
+    report: Dict[str, object]  # sizes/ratios + per-phase wall/memory records
 
 
 def _meta_path(base):
@@ -535,6 +535,9 @@ def _finish_pipeline(inputs, cfg, base, log, stats, paired_split) -> PipelineRes
         with open(_meta_path(base + ".paired"), "w") as f:
             json.dump({"reads_file1": paired_split}, f)
 
+    # per-phase wall + memory telemetry (the reference prints the peak heap
+    # after every phase, bfq_int.cpp:976-1001; here it also rides the result)
+    report["phases"] = list(log.phases)
     log.close()
     return PipelineResult(streams=streams, outputs=outputs, stats=stats, report=report)
 

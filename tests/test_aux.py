@@ -42,6 +42,25 @@ def test_phase_profiler():
     device_memory_stats()
 
 
+def test_pipeline_phase_telemetry(tmp_path):
+    """Every pipeline step records wall + host-RSS delta (+ device memory on
+    accelerators) into the .log and PipelineResult.report — the reference's
+    per-phase malloc_count_peak_curr prints (bfq_int.cpp:976-1001)."""
+    shutil.copyfile(golden_path("example.in.fastq"), tmp_path / "r.fastq")
+    base = str(tmp_path / "t")
+    res = run_pipeline([str(tmp_path / "r.fastq")], PipelineConfig(mode=2), out_base=base)
+    phases = res.report["phases"]
+    names = [p["phase"] for p in phases]
+    assert any("step1" in n for n in names)
+    assert any("step3" in n for n in names)
+    assert any("step5" in n for n in names)
+    for p in phases:
+        assert p["seconds"] >= 0
+        assert "host_rss_delta_mb" in p and "host_rss_peak_mb" in p
+    log = open(base + ".log").read()
+    assert "host_rss_delta=" in log
+
+
 def test_debug_dump(tmp_path):
     shutil.copyfile(golden_path("example.in.fastq"), tmp_path / "r.fastq")
     base = str(tmp_path / "dbg")
