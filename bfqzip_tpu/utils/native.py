@@ -178,7 +178,8 @@ def cm_available() -> bool:
 
 
 def cm_encode(
-    data: bytes, block_size: int = 0, threads: int = 0, pos_reset: int = -1
+    data: bytes, block_size: int = 0, threads: int = 0, pos_reset: int = -1,
+    profile: Optional[str] = None,
 ) -> Optional[bytes]:
     """Adaptive context-model coder (native/cm_codec.cpp, magic BQZC).
 
@@ -187,11 +188,27 @@ def cm_encode(
     it; block_size<=0 picks the 16M-symbol default, threads<=0 auto-detects
     (BFQ_CM_THREADS overrides).  pos_reset >= 0 enables the positional
     context model with that byte restarting the in-record position counter
-    (pass ord('\\n') for line-structured streams like .fq.qs).  Falls back to
-    the single-stream v2 entry point with an older library."""
+    (pass ord('\\n') for line-structured streams like .fq.qs).  profile
+    ('fast' | 'max', default from BFQ_CM_PROFILE, else 'max') selects the
+    speed/ratio point — the bsc-vs-PPMd axis (reference BFQzip.py:253-275):
+    'fast' drops the RC/order-4/order-6 models for faster decode at a ratio
+    cost; 'max' keeps everything with per-block benefit gating.  Falls back
+    to the single-stream v2 entry point with an older library."""
     lib = _find_lib()
     if lib is None or not hasattr(lib, "cm_encode"):
         return None
+    if profile is not None:
+        if profile not in ("fast", "max"):
+            raise ValueError(f"profile must be 'fast' or 'max', got {profile!r}")
+        old = os.environ.get("BFQ_CM_PROFILE")
+        os.environ["BFQ_CM_PROFILE"] = profile
+        try:
+            return cm_encode(data, block_size, threads, pos_reset)
+        finally:
+            if old is None:
+                os.environ.pop("BFQ_CM_PROFILE", None)
+            else:
+                os.environ["BFQ_CM_PROFILE"] = old
     buf = np.frombuffer(data, np.uint8)
     cap = len(data) + len(data) // 2 + (1 << 16)
     # the v3 container carries a 4-byte length per block: size the capacity

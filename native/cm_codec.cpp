@@ -36,7 +36,24 @@
 // Per-block model reset costs <1% ratio at the default 16M-symbol blocks
 // (model warmup is ~100K symbols).
 //
-// v1 containers (order-2 + run-bucket, tier ladder) remain decodable.
+// Container "BQZC" v5 (the r5 speed/ratio work; layout = v4 plus):
+//   flags bit1: fast profile (RC/order-4/order-6 models disabled globally)
+//   per-block payload_len bit31: RC model gated off for that block
+//   per-block payload_len bit30: order-4/6 models gated off for that block
+//   model deltas vs v4 (both sides derive them from the version byte):
+//     * match hash tables sized to the block length (zeroing 2 x 64MB per
+//       small block dominated decode at 256K blocks: 1.38 -> 5.26 MB/s),
+//     * hash inserts skipped >= kSkipIns deep into a match, forward probe
+//       skipped while an RC match is that deep,
+//     * order-2/3 context tables dropped for k <= 8 (DNA) alphabets.
+//   Encoder gates RC per block on measured coverage (<1.6% of symbols ->
+//   re-encode without) and the order-4/6 models on measured benefit
+//   (> 0.5% payload shrink, else the cheaper no-hi coding is kept).
+//   Measured (100K x 101bp realistic DNA, interleaved A/B, 1 thread):
+//   16M blocks 1.63x v4 decode at +2.77% size; 256K blocks 3.81x at -0.2%.
+//
+// v1 containers (order-2 + run-bucket, tier ladder) remain decodable; all
+// older versions decode bit-exactly (shared code paths are version-gated).
 
 #include <atomic>
 #include <chrono>
@@ -207,6 +224,16 @@ struct ModelV1 {
 constexpr int kMatchLen = 11;    // window symbols hashed for the match index
 constexpr int kHashBits = 24;
 constexpr float kLR = 0.0078125f;  // 1/128 mixing learning rate
+// v5 decode-speed policy (part of the v5 format — both sides must agree):
+// while a match is >= this deep, skip the hash-table insertions (the
+// region repeats an earlier one whose windows are already indexed; a later
+// probe finding the OLDER copy predicts identically) and skip the forward
+// probe while an RC match is that deep.  This removes the dominant
+// per-symbol cost on matchy streams: random writes into the large match
+// tables.  16 measured best (8 lost 1.7% ratio, sparse half-rate inserts
+// lost 0.3% for no speed).
+constexpr int kSkipIns = 16;
+
 
 struct Mixer {
     // stretch/squash in 12-bit probability space, t quantised to 1/256
@@ -250,6 +277,7 @@ inline int comp_byte(int b) {
 struct ModelV2 {
     int k, bits, tree, nm;  // nm = number of mixed models (incl. match)
     int reset_dense;        // dense code restarting the position counter
+    int ver;                // container model semantics (2..5)
     bool hi;                // v4: order-4 + hashed order-6 (small alphabets)
     bool sse;               // v4: APM/SSE stage on the mixed probability
     bool rc = false;        // v4: reverse-complement match model (DNA only)
@@ -263,18 +291,42 @@ struct ModelV2 {
     std::vector<uint32_t> htrc; // RC-window hash table (when rc)
     Mixer mx;
 
+    int htbits = kHashBits;  // log2 of the match hash tables
+
     // uniq maps dense codes back to original bytes; it both sides derive
     // the RC complement map from, so the container format is unchanged.
-    explicit ModelV2(int k_, int reset_dense_ = -1, bool v4 = false,
-                     const uint8_t* uniq = nullptr)
-        : k(k_), reset_dense(reset_dense_) {
+    // allow_rc/allow_hi gate the expensive models (v5 per-block RC flag and
+    // the fast profile); the defaults reproduce v4 semantics exactly.
+    // nb (v5, the block length) sizes the match hash tables to the block:
+    // a 256K-symbol block needs ~2^20 entries, not 2^24 — zeroing 2 x 64MB
+    // tables per small block dominated decode in the r4 thread-scaling
+    // measurement (1.6 MB/s at 256K blocks).  Deterministic from the
+    // container fields, so both sides agree.
+    explicit ModelV2(int k_, int reset_dense_ = -1, int ver_ = 2,
+                     const uint8_t* uniq = nullptr, bool allow_rc = true,
+                     bool allow_hi = true, int64_t nb = -1)
+        : k(k_), reset_dense(reset_dense_), ver(ver_) {
+        if (ver >= 5 && nb >= 0) {
+            int hb = 16;
+            while ((1ll << hb) < 4 * nb && hb < kHashBits) hb++;
+            htbits = hb;
+        }
         bits = 1;
         while ((1 << bits) < k) bits++;
         tree = 1 << bits;
-        nm = k <= 16 ? 4 : 3;  // small alphabets afford the order-3 table
+        // small alphabets afford the order-3 table — except v5 DNA-class
+        // alphabets, where the match/RC/order-1/2 ensemble already covers it
+        // (EXPERIMENT: measuring ratio/speed effect)
+        // v5 drops the order-2/3 tables on DNA-class alphabets: measured on
+        // the 100K realistic DNA stream they are fully subsumed by the
+        // match/RC/order-1 ensemble (687,359 B without vs 688,004 with) and
+        // cost two mixing slots per bit (~12% of decode wall)
+        bool o2 = !(ver >= 5 && k <= 8);
+        bool o3 = k <= 16 && !(ver >= 5 && k <= 8);
+        nm = 2 + (o2 ? 1 : 0) + (o3 ? 1 : 0);  // o1 + pm + optional o2/o3
         p1.assign((size_t)k * tree, kPOne / 2);
-        p2.assign((size_t)k * k * tree, kPOne / 2);
-        if (nm == 4) p3.assign((size_t)k * k * k * tree, kPOne / 2);
+        if (o2) p2.assign((size_t)k * k * tree, kPOne / 2);
+        if (o3) p3.assign((size_t)k * k * k * tree, kPOne / 2);
         pm.assign((size_t)16 * tree * 2, kPOne / 2);
         if (reset_dense >= 0) {
             // positional model: quality profiles correlate with in-read
@@ -288,7 +340,7 @@ struct ModelV2 {
         // from the rolling match window so no extra state is carried.
         // (Neutral on synthetic genomes, which have no high-order structure;
         // real genomes do — BASELINE.md ratio notes.)
-        hi = v4 && k <= 8 && !getenv("BFQ_CM_NOHI");
+        hi = ver >= 4 && allow_hi && k <= 8 && !getenv("BFQ_CM_NOHI");
         if (hi) {
             p4o.assign((size_t)4096 * tree, kPOne / 2);  // 4 symbols x 3 bits
             p6h.assign(((size_t)1 << kHash6Bits) * tree, kPOne / 2);
@@ -299,7 +351,7 @@ struct ModelV2 {
         // match model follows an earlier occurrence BACKWARD, predicting
         // complement symbols.  DNA alphabets only (uniq closed under
         // complement); derived from uniq on both sides, no format change.
-        if (v4 && k >= 2 && k <= 6 && uniq != nullptr) {
+        if (ver >= 4 && allow_rc && k >= 2 && k <= 6 && uniq != nullptr) {
             uint8_t dense_of[256];
             int paired = 0;
             bool ok = true;
@@ -321,7 +373,7 @@ struct ModelV2 {
             if (ok) {
                 rc = true;
                 prc.assign((size_t)16 * tree * 2, kPOne / 2);
-                htrc.assign((size_t)1 << kHashBits, 0);
+                htrc.assign((size_t)1 << htbits, 0);
                 nm++;
             }
         }
@@ -330,7 +382,7 @@ struct ModelV2 {
         // Small alphabets only: measured on the 46-symbol quality stream it
         // COSTS 5.7% (the mix is already calibrated there) while the DNA
         // stream gains (BASELINE.md ratio notes).
-        sse = v4 && k <= 8;
+        sse = ver >= 4 && k <= 8;
         if (sse) {
             apm.assign((size_t)16 * tree * 2 * 33, 0);
             for (size_t c = 0; c < apm.size() / 33; c++)
@@ -340,7 +392,7 @@ struct ModelV2 {
                 }
         }
         w.assign((size_t)(rc ? 32 : 16) * tree * nm, 1.0f / nm);
-        ht.assign((size_t)1 << kHashBits, 0);
+        ht.assign((size_t)1 << htbits, 0);
     }
 };
 
@@ -384,6 +436,7 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
     }
     size_t b1 = (size_t)prev * m.tree;
     size_t b2 = ((size_t)prev * m.k + prev2) * m.tree;
+    bool has_o2 = m.p2.size() > 0;
     bool has_o3 = m.p3.size() > 0;
     size_t b3 = has_o3 ? (((size_t)prev * m.k + prev2) * m.k + prev3) * m.tree : 0;
     size_t b4 = 0;
@@ -407,8 +460,8 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         int pb = (psym >> b) & 1;
         uint16_t* ps[8];
         ps[0] = &m.p1[b1 + node];
-        ps[1] = &m.p2[b2 + node];
-        int j = 2;
+        int j = 1;
+        if (has_o2) ps[j++] = &m.p2[b2 + node];
         if (has_o3) ps[j++] = &m.p3[b3 + node];
         ps[j++] = &m.pm[((size_t)mlb * m.tree + node) * 2 + pb];
         if (m.reset_dense >= 0) ps[j++] = &m.p4[b4 + node];
@@ -500,25 +553,37 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         st.winrc = (st.winrc >> 3)
                    | ((uint64_t)((m.cmp[s] & 7) + 1) << (3 * (kMatchLen - 1)));
     if (i >= kMatchLen - 1) {
-        uint64_t key = (win * 0x9E3779B97F4A7C15ull) >> (64 - kHashBits);
-        if (match < 0) {
-            uint32_t cand = m.ht[key];
-            if (cand > 0) {
-                // verify the candidate: the 24-bit hash collides often on
-                // multi-MB streams, and a false match poisons pm confidence
-                int64_t c = (int64_t)cand;
-                bool ok = true;
-                for (int t = 0; t < kMatchLen && ok; t++)
-                    ok = data[c - 1 - t] == data[i - t];
-                if (ok) {
-                    match = c;
-                    mlen = 0;
+        // v5: deep inside a live match the current region is a repeat of an
+        // already-indexed earlier one — skip the random hash-table writes
+        // (the dominant per-symbol cost) and the RC probe.  v4 containers
+        // keep the unconditional-update semantics bit-for-bit.
+        bool deep = m.ver >= 5 && mlen >= kSkipIns;
+        bool rcprobe = m.rc && st.rcmatch < 0;
+        uint64_t key = 0;
+        if (!deep || rcprobe)
+            key = (win * 0x9E3779B97F4A7C15ull) >> (64 - m.htbits);
+        if (!deep) {
+            // v5 also skips the forward probe while an RC match is deep
+            // (the RC stream is already predicting; measured size-neutral)
+            if (match < 0 && !(m.ver >= 5 && st.rcmlen >= kSkipIns)) {
+                uint32_t cand = m.ht[key];
+                if (cand > 0) {
+                    // verify the candidate: the 24-bit hash collides often on
+                    // multi-MB streams, and a false match poisons pm confidence
+                    int64_t c = (int64_t)cand;
+                    bool ok = true;
+                    for (int t = 0; t < kMatchLen && ok; t++)
+                        ok = data[c - 1 - t] == data[i - t];
+                    if (ok) {
+                        match = c;
+                        mlen = 0;
+                    }
                 }
             }
+            m.ht[key] = (uint32_t)(i + 1);
         }
-        m.ht[key] = (uint32_t)(i + 1);
         if (m.rc) {
-            if (st.rcmatch < 0) {
+            if (rcprobe) {
                 // forward window == an earlier RC window: continue that
                 // occurrence backward, predicting complements
                 uint32_t cand = m.htrc[key];
@@ -533,9 +598,11 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
                     }
                 }
             }
-            if (i >= kMatchLen) {
+            bool deeprc =
+                m.ver >= 5 && (mlen >= kSkipIns || st.rcmlen >= kSkipIns);
+            if (i >= kMatchLen && !deeprc) {
                 uint64_t krc =
-                    (st.winrc * 0x9E3779B97F4A7C15ull) >> (64 - kHashBits);
+                    (st.winrc * 0x9E3779B97F4A7C15ull) >> (64 - m.htbits);
                 m.htrc[krc] = (uint32_t)(i - kMatchLen + 1);
             }
         }
@@ -547,25 +614,32 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
 }
 
 // Encode one dense-coded stream with a fresh v2 model.  `uniq` (dense ->
-// original byte) enables the v4 RC match model on DNA alphabets.
-void encode_stream_v2(const uint8_t* dense, int64_t n, int k,
-                      std::vector<uint8_t>& payload, int reset_dense = -1,
-                      bool v4 = false, const uint8_t* uniq = nullptr) {
+// original byte) enables the v4+ RC match model on DNA alphabets.  Returns
+// the number of symbols coded under a live RC match (the per-block gating
+// signal: a block where RC coverage is negligible re-encodes without it).
+int64_t encode_stream_v2(const uint8_t* dense, int64_t n, int k,
+                         std::vector<uint8_t>& payload, int reset_dense = -1,
+                         int ver = 2, const uint8_t* uniq = nullptr,
+                         bool allow_rc = true, bool allow_hi = true) {
     std::vector<uint8_t> d(dense, dense + n);
-    ModelV2 m(k, reset_dense, v4, uniq);
+    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n);
     payload.reserve((size_t)(n / 3 + 64));
     RangeEncoder rc(payload);
     CodeState cs;
-    for (int64_t i = 0; i < n; i++)
+    int64_t rc_cov = 0;
+    for (int64_t i = 0; i < n; i++) {
+        rc_cov += cs.rcmatch >= 0;
         code_symbol_v2<true>(m, d, i, cs, &rc, nullptr);
+    }
     rc.flush();
+    return m.rc ? rc_cov : -1;
 }
 
 // Decode one v2 stream; writes n ORIGINAL bytes via uniq. Returns 0 / -4.
 int decode_stream_v2(const uint8_t* payload, int64_t plen, int64_t n, int k,
                      const uint8_t* uniq, uint8_t* out, int reset_dense = -1,
-                     bool v4 = false) {
-    ModelV2 m(k, reset_dense, v4, uniq);
+                     int ver = 2, bool allow_rc = true, bool allow_hi = true) {
+    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n);
     RangeDecoder rc(payload, plen);
     std::vector<uint8_t> d((size_t)n);
     CodeState cs;
@@ -675,26 +749,63 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     if (reset_byte >= 0 && reset_byte < 256 && hist[reset_byte])
         reset_dense = dense[reset_byte];
 
+    // speed/ratio profile (the bsc-vs-PPMd axis, reference BFQzip.py:253-275):
+    // max (default) keeps every model and gates RC per block on measured
+    // benefit; fast drops the RC/order-4/order-6/SSE models for ~v2-class
+    // decode throughput at a small ratio cost.
+    const char* prof = getenv("BFQ_CM_PROFILE");
+    bool fast = prof && strcmp(prof, "fast") == 0;
+
     int64_t nblocks = n > 0 ? (n + bsize - 1) / bsize : 1;
     if (nblocks > 0xFFFFFFFFll) return -5;
     std::vector<std::vector<uint8_t>> payloads((size_t)nblocks);
+    std::vector<uint8_t> rc_off((size_t)nblocks, 0), hi_off((size_t)nblocks, 0);
     parallel_blocks(nblocks, nthreads, [&](int64_t b) {
         int64_t lo = b * bsize;
         int64_t nb = std::min(bsize, n - lo) < 0 ? 0 : std::min(bsize, n - lo);
-        encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b], reset_dense,
-                         /*v4=*/true, uniq);
+        int64_t cov = encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b],
+                                       reset_dense, /*ver=*/5, uniq,
+                                       /*allow_rc=*/!fast, /*allow_hi=*/!fast);
+        if (!fast && cov >= 0 && cov < nb / 64) {
+            // RC match coverage < 1.6% of symbols: the model cannot pay for
+            // its decode cost (an extra random hash write per symbol) — the
+            // encoder measured the gain and turns it off for this block
+            std::vector<uint8_t> alt;
+            encode_stream_v2(d.data() + lo, nb, k, alt, reset_dense, /*ver=*/5,
+                             uniq, /*allow_rc=*/false, /*allow_hi=*/true);
+            if (alt.size() <= payloads[(size_t)b].size()) {
+                payloads[(size_t)b].swap(alt);
+                rc_off[(size_t)b] = 1;
+            }
+        }
+        if (!fast && k <= 8 && !getenv("BFQ_CM_NOHI")) {
+            // hi gating: the order-4/order-6 models cost ~25% of decode
+            // (one random 16MB-table read per symbol) — the encoder codes
+            // the block both ways and keeps them only when they earn >0.5%
+            // (real genomes with repeat structure; synthetic/random ones
+            // measure neutral-to-negative, BASELINE.md ratio notes)
+            std::vector<uint8_t> alt;
+            encode_stream_v2(d.data() + lo, nb, k, alt, reset_dense, /*ver=*/5,
+                             uniq, /*allow_rc=*/!rc_off[(size_t)b],
+                             /*allow_hi=*/false);
+            if ((double)alt.size() <= 1.005 * payloads[(size_t)b].size()) {
+                payloads[(size_t)b].swap(alt);
+                hi_off[(size_t)b] = 1;
+            }
+        }
     });
 
     int64_t total = 24 + k + 4 * nblocks;
     for (auto& p : payloads) {
-        if (p.size() > 0xFFFFFFFFull) return -5;
+        if (p.size() > 0x3FFFFFFFull) return -5;  // bits 30/31 carry model flags
         total += (int64_t)p.size();
     }
     if (total > out_cap) return -2;
     uint8_t* q = out;
     std::memcpy(q, kMagic, 4); q += 4;
-    *q++ = 4; *q++ = (uint8_t)(k - 1);
-    *q++ = reset_dense >= 0 ? 1 : 0;           // flags bit0: positional model
+    *q++ = 5; *q++ = (uint8_t)(k - 1);
+    // flags bit0: positional model; bit1: fast profile (RC/hi/SSE disabled)
+    *q++ = (uint8_t)((reset_dense >= 0 ? 1 : 0) | (fast ? 2 : 0));
     *q++ = reset_dense >= 0 ? (uint8_t)reset_dense : 0;
     uint64_t n64 = (uint64_t)n;
     std::memcpy(q, &n64, 8); q += 8;
@@ -702,8 +813,11 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     std::memcpy(q, &b32, 4); q += 4;
     std::memcpy(q, &nb32, 4); q += 4;
     std::memcpy(q, uniq, (size_t)k); q += k;
-    for (auto& p : payloads) {
-        uint32_t plen = (uint32_t)p.size();
+    for (int64_t b = 0; b < nblocks; b++) {
+        // bit31: block coded with RC gated off; bit30: hi models gated off
+        uint32_t plen = (uint32_t)payloads[(size_t)b].size()
+                        | (rc_off[(size_t)b] ? 0x80000000u : 0)
+                        | (hi_off[(size_t)b] ? 0x40000000u : 0);
         std::memcpy(q, &plen, 4); q += 4;
     }
     for (auto& p : payloads) {
@@ -716,18 +830,18 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
 int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_cap) {
     if (size < 20 || std::memcmp(blob, kMagic, 4) != 0) return -1;
     int version = blob[4];
-    if (version < 1 || version > 4) return -1;
+    if (version < 1 || version > 5) return -1;
     int k = blob[5] + 1;
     int tier = blob[6];
     if (version < 3 && tier > 2) return -1;
     uint64_t n;
     std::memcpy(&n, blob + 8, 8);
 
-    if (version >= 3) {  // 3 = legacy blocked, 4 = blocked + v4 model
-        bool v4 = version >= 4;
+    if (version >= 3) {  // 3 = legacy blocked, 4/5 = blocked + v4/v5 model
         if (size < 24) return -1;
         int flags = blob[6];
-        if (flags > 1) return -1;
+        if (flags > (version >= 5 ? 3 : 1)) return -1;
+        bool fast = version >= 5 && (flags & 2);
         int reset_dense = (flags & 1) ? blob[7] : -1;
         if (reset_dense >= k) return -1;
         uint32_t bsize, nblocks;
@@ -742,10 +856,17 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
         int64_t tab = 24 + k;
         if (tab + 4ll * nblocks > size) return -3;
         std::vector<int64_t> off((size_t)nblocks + 1);
+        std::vector<uint8_t> rc_off((size_t)nblocks, 0), hi_off((size_t)nblocks, 0);
         off[0] = tab + 4ll * nblocks;
         for (uint32_t b = 0; b < nblocks; b++) {
             uint32_t plen;
             std::memcpy(&plen, blob + tab + 4ll * b, 4);
+            if (version >= 5) {
+                // bit31: RC model gated off; bit30: hi models gated off
+                rc_off[b] = (uint8_t)(plen >> 31);
+                hi_off[b] = (uint8_t)((plen >> 30) & 1);
+                plen &= 0x3FFFFFFFu;
+            }
             off[b + 1] = off[b] + plen;
             if (off[b + 1] > size) return -3;
         }
@@ -763,7 +884,9 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
             if (nb < 0) nb = 0;
             int rc = decode_stream_v2(blob + off[(size_t)b],
                                       off[(size_t)b + 1] - off[(size_t)b], nb, k,
-                                      uniq, out + lo, reset_dense, v4);
+                                      uniq, out + lo, reset_dense, version,
+                                      /*allow_rc=*/!fast && !rc_off[(size_t)b],
+                                      /*allow_hi=*/!fast && !hi_off[(size_t)b]);
             if (rc < 0) err.store(rc);
             if (bt_path)
                 block_ns[(size_t)b] = std::chrono::duration_cast<std::chrono::nanoseconds>(
