@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Tuple
 
@@ -233,11 +234,28 @@ def smooth_fastq_external(
     *,
     _seg_len: int | None = None,
     _reads_per_chunk: int | None = None,
+    spill=None,
+    out_path: str | None = None,
+    report: dict | None = None,
 ) -> Tuple[ReadBatch, dict]:
-    """Out-of-core engine.smooth_fastq: same output, bounded device memory.
+    """Out-of-core engine.smooth_fastq: same output, bounded device memory —
+    and, with spill active, bounded HOST memory: every O(n) host array lives
+    in an np.memmap scratch directory (io/spill.py) with finished ranges
+    evicted, the analog of the reference's pile/cyc files
+    (src_ext_mem/bfq_ext.cpp:190-348, decode.cpp:409-496).
+
+    spill: an io.spill.Spill, True (create one), False (force in-RAM), or
+    None — auto: spill when the workload exceeds ~64M positions or
+    BFQ_EXT_SPILL=1.  out_path additionally streams the smoothed FASTQ to
+    disk slab-by-slab (headers '@', reference BCR convention for absent
+    headers).  report (optional dict) receives per-stage wall seconds and
+    peak-RSS watermarks for the at-scale record.
 
     The underscore knobs pin the chunk/segment sizes directly (tests force
     many tiny segments to exercise every carry path)."""
+    import resource
+
+    from bfqzip_tpu.io.spill import Spill
     from bfqzip_tpu.ops import pallas_scan
 
     pallas_scan.ensure_calibrated()  # auto Pallas/XLA pick; no-op mid-trace
@@ -248,26 +266,68 @@ def smooth_fastq_external(
     wp = width + 1
     n_pad = n_reads * wp
 
+    env_spill = os.environ.get("BFQ_EXT_SPILL")
+    if isinstance(spill, Spill):
+        sp = spill
+    elif spill is True:
+        sp = Spill()
+    elif spill is False or env_spill == "0":
+        sp = None
+    else:
+        sp = Spill() if (n_pad >= (1 << 26) or env_spill == "1") else None
+
+    rep = report if report is not None else {}
+
+    def mark(stage, t0):
+        rep[f"{stage}_s"] = round(time.time() - t0, 2)
+        rep[f"{stage}_peak_rss_gb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+
     # ---- stage 1: chunked device sorts + native host merge ----
+    t_text = time.time()
     reads_per_chunk = _reads_per_chunk or max(int(mem_bytes / _BUILD_BYTES_PER_POS / wp), 1)
-    k = np.arange(wp)[None, :]
-    text = np.where(
-        k < batch.lengths[:, None],
-        np.pad(batch.seqs, ((0, 0), (0, 1))).astype(np.uint8) + 1,
-        0,
-    ).reshape(-1)
-    qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
+    if sp is not None:
+        text = sp.alloc("text", (n_pad,), np.uint8)
+        qtext = sp.alloc("qtext", (n_pad,), np.uint8)
+        slab = max(min(reads_per_chunk, (64 << 20) // wp), 1)
+        k = np.arange(wp)[None, :]
+        for lo in range(0, n_reads, slab):
+            hi = min(lo + slab, n_reads)
+            seqs_s = np.asarray(batch.seqs[lo:hi])
+            text[lo * wp : hi * wp] = np.where(
+                k < np.asarray(batch.lengths[lo:hi])[:, None],
+                np.pad(seqs_s, ((0, 0), (0, 1))).astype(np.uint8) + 1, 0,
+            ).reshape(-1)
+            qtext[lo * wp : hi * wp] = np.pad(
+                np.asarray(batch.quals[lo:hi]), ((0, 0), (0, 1))).reshape(-1)
+            Spill.evict(text, lo * wp, (hi - lo) * wp)
+            Spill.evict(qtext, lo * wp, (hi - lo) * wp)
+    else:
+        k = np.arange(wp)[None, :]
+        text = np.where(
+            k < batch.lengths[:, None],
+            np.pad(batch.seqs, ((0, 0), (0, 1))).astype(np.uint8) + 1,
+            0,
+        ).reshape(-1)
+        qtext = np.pad(batch.quals, ((0, 0), (0, 1))).reshape(-1)
 
     n_chunks = -(-n_reads // reads_per_chunk)
-    _LOG.info("stage 1: %d reads in %d device chunks of <=%d",
-              n_reads, n_chunks, reads_per_chunk)
-    sa_chunks = []
-    lcp_chunks = []
+    _LOG.info("stage 1: %d reads in %d device chunks of <=%d%s",
+              n_reads, n_chunks, reads_per_chunk,
+              f" (spill: {sp.dir})" if sp is not None else "")
+    if sp is not None:
+        sa_store = sp.alloc("sa_all", (n_pad,), np.int32)
+        lcp_store = sp.alloc("lcp_all", (n_pad,), np.uint8)
+    else:
+        sa_store = np.empty(n_pad, np.int32)
+        lcp_store = np.empty(n_pad, np.uint8)
+    offs = [0]
     t0 = time.time()
     for ci, lo in enumerate(range(0, n_reads, reads_per_chunk)):
         hi = min(lo + reads_per_chunk, n_reads)
-        seqs_c, quals_c, lens_c = (
-            batch.seqs[lo:hi], batch.quals[lo:hi], batch.lengths[lo:hi])
+        seqs_c = np.asarray(batch.seqs[lo:hi])
+        quals_c = np.asarray(batch.quals[lo:hi])
+        lens_c = np.asarray(batch.lengths[lo:hi])
         if hi - lo < reads_per_chunk and n_chunks > 1:
             # pad the remainder chunk to the compiled shape with length -1
             # dummy rows (no terminator, no suffixes — ops/suffix.py:156),
@@ -279,21 +339,49 @@ def smooth_fastq_external(
             lens_c = np.concatenate([lens_c, np.full(padn, -1, lens_c.dtype)])
         dev = build_ebwt(jnp.asarray(seqs_c), jnp.asarray(quals_c), jnp.asarray(lens_c))
         nloc = int(dev.n)
-        sa_chunks.append((np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32))
+        base = offs[-1]
+        sa_store[base : base + nloc] = (
+            np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32)
         # intra-chunk LCPs (255-capped, cast on device: 1 B/pos transfer)
         # feed the merge's LCP loser tree
-        lcp_chunks.append(
-            np.asarray(jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[:nloc]
-        )
+        lcp_store[base : base + nloc] = np.asarray(
+            jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[:nloc]
+        offs.append(base + nloc)
+        if sp is not None:
+            Spill.evict(sa_store, base * 4, nloc * 4)
+            Spill.evict(lcp_store, base, nloc)
         del dev
         _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
                   ci + 1, n_chunks, time.time() - t0)
+    n = offs[-1]
+    rep["n_chunks"] = n_chunks
+    mark("chunk_sorts", t_text)
+
     t0 = time.time()
-    bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(
-        text, qtext, sa_chunks, lcp_chunks=lcp_chunks)
+    offs_a = np.asarray(offs, np.int64)
+    if sp is not None:
+        bwt_h = sp.alloc("bwt", (n,), np.uint8)
+        qs_h = sp.alloc("qs", (n,), np.uint8)
+        lcp_h = sp.alloc("lcp", (n,), np.uint8)
+        pre_h = sp.alloc("pre", (n,), np.uint8)
+        sa_h = sp.alloc("sa", (n,), np.int32)
+        # the merge streams k cursors through the inputs and writes the
+        # outputs sequentially; a watcher thread keeps dropping finished
+        # pages so the resident set stays at the active windows
+        with sp.watcher("text", "qtext", "sa_all", "lcp_all",
+                        "bwt", "qs", "lcp", "pre", "sa"):
+            native.ext_merge(text, qtext, (sa_store[:n], offs_a),
+                             lcp_chunks=lcp_store[:n],
+                             out=(bwt_h, qs_h, lcp_h, pre_h, sa_h))
+        sp.evict_all("bwt", "qs", "lcp", "pre", "sa")
+        del text, qtext, sa_store, lcp_store
+        sp.drop("text"); sp.drop("qtext"); sp.drop("sa_all"); sp.drop("lcp_all")
+    else:
+        bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(
+            text, qtext, (sa_store[:n], offs_a), lcp_chunks=lcp_store[:n])
+        del text, qtext, sa_store, lcp_store
     _LOG.info("stage 1: native k-way merge done (%.1fs)", time.time() - t0)
-    del sa_chunks, lcp_chunks
-    n = bwt_h.size
+    mark("merge", t0)
 
     # ---- stage 2: streaming cluster smoothing (forward pass applies) ----
     seg_len = _seg_len or max(int(mem_bytes / _SMOOTH_BYTES_PER_POS), 1 << 16)
@@ -318,7 +406,13 @@ def smooth_fastq_external(
         return jnp.asarray(out)
 
     _LOG.info("stage 2: streaming smooth over %d segments of %d", n_seg, seg_len)
-    packed_h = np.zeros(n_pad, np.uint16)
+    t_smooth = time.time()
+    if sp is not None:
+        from bfqzip_tpu.io.spill import Spill
+
+        packed_h = sp.alloc("packed", (n_pad,), np.uint16)
+    else:
+        packed_h = np.zeros(n_pad, np.uint16)
     firsts, anys = [], []
     tails = {}  # s -> (bwt, qs, pre, pending) fix-cap slices (host)
     fallbacks = {}  # s -> (word, close, inclu) full windows (host, rare)
@@ -358,6 +452,13 @@ def smooth_fastq_external(
                         np.asarray(tpend))
         for key, v in stats.items():
             stats_acc[key] = stats_acc.get(key, 0) + int(v)
+        if sp is not None and s > 0:
+            # the previous segment (minus the halo the current one read) is
+            # fully consumed — drop its resident pages
+            plo = (s - 1) * seg_len
+            for arr in (bwt_h, qs_h, lcp_h, pre_h):
+                Spill.evict(arr, plo, seg_len)
+            Spill.evict(sa_h, plo * 4, seg_len * 4)
         _LOG.info("stage 2: segment %d/%d done (%.1fs elapsed)",
                   s + 1, n_seg, time.time() - t0)
 
@@ -401,17 +502,53 @@ def smooth_fastq_external(
         seg_smo[s] = int(smo)
     stats_acc["modified"] = int(seg_mod.sum())
     stats_acc["qs_smoothed"] = int(seg_smo.sum())
+    mark("smooth", t_smooth)
 
     # ---- stage 3: emission (the scatters above WERE the inversion) ----
-    grid = packed_h.reshape(n_reads, wp)
-    seqs = (grid[:, :width] & 0xFF).astype(np.uint8)
-    quals = ((grid[:, :width] >> 8) & 0xFF).astype(np.uint8)
+    t_emit = time.time()
+    lengths_out = np.asarray(batch.lengths).astype(np.int32)
+    if sp is None:
+        grid = packed_h.reshape(n_reads, wp)
+        seqs = (grid[:, :width] & 0xFF).astype(np.uint8)
+        quals = ((grid[:, :width] >> 8) & 0xFF).astype(np.uint8)
+        if out_path:
+            from bfqzip_tpu.io.fastq import write_fastq
+
+            tmp = ReadBatch(seqs=seqs, quals=quals, lengths=lengths_out)
+            write_fastq(out_path, tmp, headers=None)
+    else:
+        from bfqzip_tpu.io.fastq import format_fastq
+
+        seqs = sp.alloc("out_seqs", (n_reads, width), np.uint8)
+        quals = sp.alloc("out_quals", (n_reads, width), np.uint8)
+        slab = max((64 << 20) // wp, 1)
+        fh = open(out_path, "wb") if out_path else None
+        try:
+            for lo in range(0, n_reads, slab):
+                hi = min(lo + slab, n_reads)
+                grid = np.asarray(packed_h[lo * wp : hi * wp]).reshape(hi - lo, wp)
+                s_s = (grid[:, :width] & 0xFF).astype(np.uint8)
+                q_s = ((grid[:, :width] >> 8) & 0xFF).astype(np.uint8)
+                seqs[lo:hi] = s_s
+                quals[lo:hi] = q_s
+                if fh is not None:
+                    fh.write(format_fastq(ReadBatch(
+                        seqs=s_s, quals=q_s, lengths=lengths_out[lo:hi])))
+                Spill.evict(packed_h, lo * wp * 2, (hi - lo) * wp * 2)
+                Spill.evict(seqs, lo * width, (hi - lo) * width)
+                Spill.evict(quals, lo * width, (hi - lo) * width)
+        finally:
+            if fh is not None:
+                fh.close()
+        for name in ("packed", "bwt", "qs", "lcp", "pre", "sa"):
+            sp.drop(name)
     out = ReadBatch(
         seqs=seqs,
         quals=quals,
-        lengths=batch.lengths.astype(np.int32),
+        lengths=lengths_out,
         headers=batch.headers,
     )
+    mark("emit", t_emit)
     return out, stats_acc
 
 

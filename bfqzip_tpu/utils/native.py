@@ -251,54 +251,72 @@ def ext_merge_available() -> bool:
 
 
 def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0,
-              lcp_chunks=None):
+              lcp_chunks=None, out=None):
     """K-way merge of per-chunk sorted suffix orders (native/extmerge.cpp).
 
     text/qtext: [n_pad] u8 padded layout (0 = terminator/pad); sa_chunks: list
-    of i32 arrays of GLOBAL suffix positions, each sorted by suffix.  Returns
+    of i32 arrays of GLOBAL suffix positions, each sorted by suffix — or a
+    tuple (sa_all, offs) of one preconcatenated i32 array plus int64 chunk
+    offsets (the spill path avoids the concat copy).  Returns
     (bwt, qs, lcp_u8, pre, sa) in merged order.  The output is partitioned by
     splitter suffixes and merged on `threads` host threads (0 = auto;
     BFQ_EXT_THREADS overrides).  lcp_chunks (optional, aligned u8 255-capped
-    intra-chunk LCPs from the device sorts) switches the merge to the LCP
-    loser tree — comparisons become integer compares, text is only walked on
-    exact ties.
+    intra-chunk LCPs from the device sorts, list or one array) switches the
+    merge to the LCP loser tree — comparisons become integer compares, text
+    is only walked on exact ties.  out (optional): 5 preallocated arrays
+    (bwt, qs, lcp, pre, sa) — np.memmap for the bounded-RSS path.
     """
     lib = _find_lib()
     if lib is None or not hasattr(lib, "ext_merge"):
         raise RuntimeError("native ext_merge unavailable (make -C native)")
     text = np.ascontiguousarray(text, np.uint8)
     qtext = np.ascontiguousarray(qtext, np.uint8)
-    sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), np.int32)
-    offs = np.zeros(len(sa_chunks) + 1, np.int64)
-    np.cumsum([len(c) for c in sa_chunks], out=offs[1:])
+    if isinstance(sa_chunks, tuple):
+        sa_all, offs = sa_chunks
+        sa_all = np.ascontiguousarray(sa_all, np.int32)
+        offs = np.ascontiguousarray(offs, np.int64)
+        n_chunks = offs.size - 1
+    else:
+        sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), np.int32)
+        offs = np.zeros(len(sa_chunks) + 1, np.int64)
+        np.cumsum([len(c) for c in sa_chunks], out=offs[1:])
+        n_chunks = len(sa_chunks)
     total = int(offs[-1])
-    bwt = np.empty(total, np.uint8)
-    qs = np.empty(total, np.uint8)
-    lcp = np.empty(total, np.uint8)
-    pre = np.empty(total, np.uint8)
-    sa = np.empty(total, np.int32)
+    if out is not None:
+        bwt, qs, lcp, pre, sa = out
+        if any(a.size != total for a in out):
+            raise ValueError("out arrays must have the merged total size")
+    else:
+        bwt = np.empty(total, np.uint8)
+        qs = np.empty(total, np.uint8)
+        lcp = np.empty(total, np.uint8)
+        pre = np.empty(total, np.uint8)
+        sa = np.empty(total, np.int32)
     if lcp_chunks is not None and hasattr(lib, "ext_merge_mt2"):
-        lcp_all = np.ascontiguousarray(np.concatenate(lcp_chunks), np.uint8)
+        if isinstance(lcp_chunks, np.ndarray):
+            lcp_all = np.ascontiguousarray(lcp_chunks, np.uint8)
+        else:
+            lcp_all = np.ascontiguousarray(np.concatenate(lcp_chunks), np.uint8)
         if lcp_all.size != total:
             raise ValueError("lcp_chunks must align with sa_chunks")
         rc = lib.ext_merge_mt2(
             _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
             _ptr(sa_all), _ptr(lcp_all), _ptr(offs),
-            ctypes.c_int32(len(sa_chunks)),
+            ctypes.c_int32(n_chunks),
             _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
             ctypes.c_int32(threads),
         )
     elif hasattr(lib, "ext_merge_mt"):
         rc = lib.ext_merge_mt(
             _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
-            _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
+            _ptr(sa_all), _ptr(offs), ctypes.c_int32(n_chunks),
             _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
             ctypes.c_int32(threads),
         )
     else:
         rc = lib.ext_merge(
             _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
-            _ptr(sa_all), _ptr(offs), ctypes.c_int32(len(sa_chunks)),
+            _ptr(sa_all), _ptr(offs), ctypes.c_int32(n_chunks),
             _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
         )
     if rc != total:

@@ -198,3 +198,49 @@ def test_native_merge_rejects_bad_sa():
         sa = np.array([1, 2, bad], np.int32)
         with pytest.raises(RuntimeError, match="rc=-4"):
             native.ext_merge(text, qtext, [sa])
+
+
+def test_external_spill_matches_engine(tmp_path):
+    """Forced spill path (file-backed scratch arrays + per-range eviction +
+    streamed emission, io/spill.py — the pile/cyc-file analog,
+    bfq_ext.cpp:190-348): byte-equal to the in-core engine, out_path streams
+    the same FASTQ, and the report carries per-stage wall + RSS marks."""
+    from bfqzip_tpu.io.fastq import format_fastq
+
+    batch = read_fastq(golden_path("example.in.fastq"), with_headers=False)
+    cfg = SmoothConfig()
+    want, wstats = smooth_fastq(batch, cfg)
+    ref_bytes = format_fastq(want)
+    rep = {}
+    out_fq = str(tmp_path / "sp.fq")
+    got, gstats = smooth_fastq_external(
+        batch, cfg, _seg_len=1500, _reads_per_chunk=17,
+        spill=True, out_path=out_fq, report=rep,
+    )
+    assert format_fastq(got) == ref_bytes
+    assert gstats == wstats
+    assert open(out_fq, "rb").read() == ref_bytes
+    assert rep["n_chunks"] > 1
+    for stage in ("chunk_sorts", "merge", "smooth", "emit"):
+        assert rep[stage + "_s"] >= 0
+        assert rep[stage + "_peak_rss_gb"] > 0
+
+
+def test_read_fastq_spill_matches_reader():
+    """The streaming record-aligned slab parser (io/spill.read_fastq_spill)
+    must agree with the whole-file reader on every golden input, including
+    slabs far smaller than the file."""
+    from bfqzip_tpu.io.spill import Spill, read_fastq_spill
+
+    for name, slab in (("example.in.fastq", 1 << 20),
+                       ("synth_var.in.fastq", 4096),
+                       ("synth_long.in.fastq", 8192)):
+        ref = read_fastq(golden_path(name))
+        sp = Spill()
+        got = read_fastq_spill(golden_path(name), sp, with_headers=True,
+                               slab_bytes=slab)
+        assert np.array_equal(np.asarray(got.seqs), ref.seqs), name
+        assert np.array_equal(np.asarray(got.quals), ref.quals), name
+        assert np.array_equal(got.lengths, ref.lengths), name
+        assert got.headers == ref.headers, name
+        sp.close()
