@@ -194,7 +194,11 @@ def step5_compress(streams: List[str], codecs, log: StepLogger) -> Dict[str, Lis
 
     The in-tree coder runs the streams CONCURRENTLY (the native encode
     releases the GIL), mirroring the reference's threaded compressor fan-out
-    (BFQzip_parallel.py:204-233)."""
+    (BFQzip_parallel.py:204-233).  BFQ_CM_PROFILE=fast|max selects the BQZC
+    speed/ratio point (the bsc-vs-PPMd axis): max (default) keeps every
+    model with per-block benefit gating, fast trades ~23% DNA size for
+    ~3.5x faster encode — both stay under the xz -9 yardstick
+    (BASELINE.md)."""
     from concurrent.futures import ThreadPoolExecutor
 
     outputs: Dict[str, List[str]] = {}
