@@ -392,8 +392,18 @@ def run_pipeline(
     log.command_line()
 
     # ---- input / validation (checkFASTQ.py semantics via the parser) ----
+    _spill = None
     with log.step("read FASTQ"):
-        batches = [read_fastq(p) for p in inputs]
+        if ext_mem_mb and len(inputs) == 1 and not cfg.original:
+            # out-of-core runs parse in record-aligned slabs straight into
+            # spill-backed arrays (io/spill.py) so the input never needs
+            # 2x file size of host RAM
+            from bfqzip_tpu.io.spill import Spill, read_fastq_spill
+
+            _spill = Spill()
+            batches = [read_fastq_spill(inputs[0], _spill, with_headers=True)]
+        else:
+            batches = [read_fastq(p) for p in inputs]
     if check:
         for b in batches:
             b.validate()
@@ -425,7 +435,7 @@ def run_pipeline(
 
         with log.step(f"steps1-3: external memory, budget {ext_mem_mb} MB"):
             smoothed, stats = smooth_fastq_external(
-                batch, cfg.smooth, mem_bytes=ext_mem_mb << 20
+                batch, cfg.smooth, mem_bytes=ext_mem_mb << 20, spill=_spill,
             )
         headers_on = cfg.headers or cfg.mode == 3
         if headers_on and batch.headers is not None:
