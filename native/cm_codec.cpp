@@ -55,6 +55,7 @@
 // v1 containers (order-2 + run-bucket, tier ladder) remain decodable; all
 // older versions decode bit-exactly (shared code paths are version-gated).
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -293,6 +294,77 @@ struct ModelV2 {
 
     int htbits = kHashBits;  // log2 of the match hash tables
 
+    // v5 canonical skewed coding tree (flags bit2): per-symbol code lengths
+    // from a global Huffman build over the container's histogram, canonical
+    // (DEFLATE-style) assignment.  Frequent symbols take 2 coding steps
+    // instead of ceil(log2 k) — the per-symbol mixing work is linear in the
+    // coded path length, so decode speeds up by the same ratio the expected
+    // depth drops.  Internal nodes are renumbered densely (id+1 is the
+    // context `node`, <= k-1 < tree, so every model table layout and the
+    // balanced-tree decode of older versions are untouched).
+    bool canon = false;
+    uint8_t dep[256];
+    uint32_t cpath[256];
+    int16_t child[512];      // child[2*id+b]: internal id, or -(1+sym) leaf
+    uint8_t pids[256][32];   // internal ids along each symbol's path
+
+    // Build the canonical tree from per-symbol depths; returns false (and
+    // leaves the balanced tree in force) on any invalid table — the decoder
+    // treats that as a hostile header.
+    bool build_canon(const uint8_t* depths) {
+        int64_t kraft = 0;  // in units of 2^-30
+        int maxd = 0;
+        for (int s = 0; s < k; s++) {
+            int d = depths[s];
+            if (d < 1 || d > 30) return false;
+            dep[s] = (uint8_t)d;
+            maxd = maxd > d ? maxd : d;
+            kraft += 1ll << (30 - d);
+        }
+        if (kraft != (1ll << 30)) return false;  // not a full tree
+        // canonical code assignment (DEFLATE): count per length, first code
+        // per length, then symbols in dense-code order take consecutive codes
+        uint32_t bl_count[33] = {0}, next_code[33] = {0};
+        for (int s = 0; s < k; s++) bl_count[dep[s]]++;
+        uint32_t code = 0;
+        for (int d = 1; d <= maxd; d++) {
+            code = (code + bl_count[d - 1]) << 1;
+            next_code[d] = code;
+        }
+        for (int s = 0; s < k; s++) cpath[s] = next_code[dep[s]]++;
+        // explicit child structure with densely renumbered internal nodes
+        for (int j = 0; j < 512; j++) child[j] = INT16_MIN;
+        int n_internal = 1;  // id 0 = root
+        for (int s = 0; s < k; s++) {
+            int id = 0;
+            for (int t = 0; t < dep[s]; t++) {
+                pids[s][t] = (uint8_t)id;
+                int bit = (cpath[s] >> (dep[s] - 1 - t)) & 1;
+                if (t == dep[s] - 1) {
+                    if (child[2 * id + bit] != INT16_MIN) return false;
+                    child[2 * id + bit] = (int16_t)-(1 + s);
+                } else {
+                    if (child[2 * id + bit] == INT16_MIN) {
+                        if (n_internal >= k) return false;
+                        child[2 * id + bit] = (int16_t)n_internal++;
+                    }
+                    if (child[2 * id + bit] < 0) return false;
+                    id = child[2 * id + bit];
+                }
+            }
+        }
+        for (int id = 0; id < n_internal; id++)
+            if (child[2 * id] == INT16_MIN || child[2 * id + 1] == INT16_MIN)
+                return false;
+        return true;
+    }
+
+    // predicted symbol's path bit at step t (0 past its leaf — prediction
+    // confidence is priced by the match models either way)
+    inline int path_bit(int sym, int t) const {
+        return t < dep[sym] ? (cpath[sym] >> (dep[sym] - 1 - t)) & 1 : 0;
+    }
+
     // uniq maps dense codes back to original bytes; it both sides derive
     // the RC complement map from, so the container format is unchanged.
     // allow_rc/allow_hi gate the expensive models (v5 per-block RC flag and
@@ -304,8 +376,11 @@ struct ModelV2 {
     // container fields, so both sides agree.
     explicit ModelV2(int k_, int reset_dense_ = -1, int ver_ = 2,
                      const uint8_t* uniq = nullptr, bool allow_rc = true,
-                     bool allow_hi = true, int64_t nb = -1)
+                     bool allow_hi = true, int64_t nb = -1,
+                     const uint8_t* depths = nullptr)
         : k(k_), reset_dense(reset_dense_), ver(ver_) {
+        if (ver >= 5 && depths != nullptr && k >= 2 && k <= 256)
+            canon = build_canon(depths);
         if (ver >= 5 && nb >= 0) {
             int hb = 16;
             while ((1ll << hb) < 4 * nb && hb < kHashBits) hb++;
@@ -454,10 +529,9 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
         b6 = (size_t)((c6 * 0x9E3779B97F4A7C15ull) >> (64 - kHash6Bits)) * m.tree;
     }
 
-    int node = 1;
-    int s = kEncode ? data[i] : 0;
-    for (int b = m.bits - 1; b >= 0; b--) {
-        int pb = (psym >> b) & 1;
+    // one bit of the tree decomposition at context `node`, with the match/RC
+    // predicted bits pb/pbrc; enc_bit is the bit to encode (ignored on decode)
+    auto code_one = [&](int node, int pb, int pbrc, int enc_bit) -> int {
         uint16_t* ps[8];
         ps[0] = &m.p1[b1 + node];
         int j = 1;
@@ -470,8 +544,7 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
             ps[j++] = &m.p6h[b6 + node];
         }
         if (m.rc)
-            ps[j++] = &m.prc[((size_t)rcmlb * m.tree + node) * 2
-                             + ((psym_rc >> b) & 1)];
+            ps[j++] = &m.prc[((size_t)rcmlb * m.tree + node) * 2 + pbrc];
 
         float sv[8];
         float t = 0;
@@ -504,7 +577,7 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
 
         int bit;
         if (kEncode) {
-            bit = (s >> b) & 1;
+            bit = enc_bit;
             enc->encode_bit16(p16, bit);
         } else {
             bit = dec->decode_bit16(p16);
@@ -522,10 +595,42 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
             if (bit) *an += (kPOne - *an) >> 6;
             else *an -= *an >> 6;
         }
-        node = node * 2 + bit;
-    }
-    if (!kEncode) {
-        s = node - m.tree;
+        return bit;
+    };
+
+    int s;
+    if (!m.canon) {
+        int node = 1;
+        s = kEncode ? data[i] : 0;
+        for (int b = m.bits - 1; b >= 0; b--) {
+            int bit = code_one(node, (psym >> b) & 1, (psym_rc >> b) & 1,
+                               kEncode ? (s >> b) & 1 : -1);
+            node = node * 2 + bit;
+        }
+        if (!kEncode) {
+            s = node - m.tree;
+            data[i] = (uint8_t)s;
+        }
+    } else if (kEncode) {
+        s = data[i];
+        int d = m.dep[s];
+        for (int t = 0; t < d; t++)
+            code_one(m.pids[s][t] + 1, m.path_bit(psym, t),
+                     m.rc ? m.path_bit(psym_rc, t) : 0,
+                     (m.cpath[s] >> (d - 1 - t)) & 1);
+    } else {
+        int id = 0, t = 0;
+        for (;;) {
+            int bit = code_one(id + 1, m.path_bit(psym, t),
+                               m.rc ? m.path_bit(psym_rc, t) : 0, -1);
+            int c = m.child[2 * id + bit];
+            if (c < 0) {
+                s = -1 - c;
+                break;
+            }
+            id = c;
+            t++;
+        }
         data[i] = (uint8_t)s;
     }
 
@@ -620,9 +725,10 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
 int64_t encode_stream_v2(const uint8_t* dense, int64_t n, int k,
                          std::vector<uint8_t>& payload, int reset_dense = -1,
                          int ver = 2, const uint8_t* uniq = nullptr,
-                         bool allow_rc = true, bool allow_hi = true) {
+                         bool allow_rc = true, bool allow_hi = true,
+                         const uint8_t* depths = nullptr) {
     std::vector<uint8_t> d(dense, dense + n);
-    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n);
+    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n, depths);
     payload.reserve((size_t)(n / 3 + 64));
     RangeEncoder rc(payload);
     CodeState cs;
@@ -638,8 +744,10 @@ int64_t encode_stream_v2(const uint8_t* dense, int64_t n, int k,
 // Decode one v2 stream; writes n ORIGINAL bytes via uniq. Returns 0 / -4.
 int decode_stream_v2(const uint8_t* payload, int64_t plen, int64_t n, int k,
                      const uint8_t* uniq, uint8_t* out, int reset_dense = -1,
-                     int ver = 2, bool allow_rc = true, bool allow_hi = true) {
-    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n);
+                     int ver = 2, bool allow_rc = true, bool allow_hi = true,
+                     const uint8_t* depths = nullptr) {
+    ModelV2 m(k, reset_dense, ver, uniq, allow_rc, allow_hi, n, depths);
+    if (depths != nullptr && !m.canon) return -1;  // hostile depth table
     RangeDecoder rc(payload, plen);
     std::vector<uint8_t> d((size_t)n);
     CodeState cs;
@@ -720,6 +828,43 @@ int64_t cm_encode(const uint8_t* data, int64_t n, uint8_t* out, int64_t out_cap)
     return q - out;
 }
 
+// Per-symbol Huffman code lengths over the container histogram (k <= 256,
+// O(k^2) two-smallest merge — trivial next to coding).  Returns max depth.
+int huffman_depths(const int64_t* freq, int k, uint8_t* dep) {
+    struct Node { int64_t f; int parent; };
+    std::vector<Node> nodes;
+    nodes.reserve(2 * k);
+    std::vector<int> alive;
+    for (int s = 0; s < k; s++) {
+        nodes.push_back({freq[s] > 0 ? freq[s] : 1, -1});
+        alive.push_back(s);
+    }
+    while (alive.size() > 1) {
+        int a = 0, b = 1;
+        if (nodes[alive[b]].f < nodes[alive[a]].f) std::swap(a, b);
+        for (size_t j = 2; j < alive.size(); j++) {
+            if (nodes[alive[j]].f < nodes[alive[a]].f) { b = a; a = (int)j; }
+            else if (nodes[alive[j]].f < nodes[alive[b]].f) b = (int)j;
+        }
+        int ia = alive[a], ib = alive[b];
+        nodes.push_back({nodes[ia].f + nodes[ib].f, -1});
+        nodes[ia].parent = nodes[ib].parent = (int)nodes.size() - 1;
+        if (a < b) std::swap(a, b);  // erase higher index first
+        alive.erase(alive.begin() + a);
+        alive.erase(alive.begin() + b);
+        alive.push_back((int)nodes.size() - 1);
+    }
+    int maxd = 0;
+    for (int s = 0; s < k; s++) {
+        int d = 0;
+        for (int p = nodes[s].parent; p >= 0; p = nodes[p].parent) d++;
+        if (k == 1) d = 1;
+        dep[s] = (uint8_t)d;
+        maxd = maxd > d ? maxd : d;
+    }
+    return maxd;
+}
+
 // Blocked v3 encoder: independent per-block models, pool-parallel.
 // bsize <= 0 selects the 16M-symbol default; nthreads <= 0 auto-detects.
 // reset_byte >= 0 enables the positional context model: the in-record
@@ -756,6 +901,29 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     const char* prof = getenv("BFQ_CM_PROFILE");
     bool fast = prof && strcmp(prof, "fast") == 0;
 
+    // canonical skewed tree (flags bit2): Huffman depths over the global
+    // histogram, used when the expected coded path shortens >=3% vs the
+    // balanced ceil(log2 k) tree.  The per-symbol model work is linear in
+    // path length, so this is a direct decode-speed (and size) win on
+    // skewed alphabets; a uniform alphabet would LENGTHEN, so the encoder
+    // measures instead of assuming.
+    uint8_t depths[256];
+    bool canon = false;
+    if (!getenv("BFQ_CM_NOCANON") && k >= 3 && k <= 256) {
+        int64_t freq[256];
+        for (int s = 0; s < k; s++) freq[s] = hist[uniq[s]];
+        int maxd = huffman_depths(freq, k, depths);
+        int bits_bal = 1;
+        while ((1 << bits_bal) < k) bits_bal++;
+        long double steps_h = 0, steps_b = 0;
+        for (int s = 0; s < k; s++) {
+            steps_h += (long double)freq[s] * depths[s];
+            steps_b += (long double)freq[s] * bits_bal;
+        }
+        canon = maxd <= 30 && steps_h <= steps_b * 0.97L;
+    }
+    const uint8_t* dp = canon ? depths : nullptr;
+
     int64_t nblocks = n > 0 ? (n + bsize - 1) / bsize : 1;
     if (nblocks > 0xFFFFFFFFll) return -5;
     std::vector<std::vector<uint8_t>> payloads((size_t)nblocks);
@@ -765,14 +933,15 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
         int64_t nb = std::min(bsize, n - lo) < 0 ? 0 : std::min(bsize, n - lo);
         int64_t cov = encode_stream_v2(d.data() + lo, nb, k, payloads[(size_t)b],
                                        reset_dense, /*ver=*/5, uniq,
-                                       /*allow_rc=*/!fast, /*allow_hi=*/!fast);
+                                       /*allow_rc=*/!fast, /*allow_hi=*/!fast,
+                                       dp);
         if (!fast && cov >= 0 && cov < nb / 64) {
             // RC match coverage < 1.6% of symbols: the model cannot pay for
             // its decode cost (an extra random hash write per symbol) — the
             // encoder measured the gain and turns it off for this block
             std::vector<uint8_t> alt;
             encode_stream_v2(d.data() + lo, nb, k, alt, reset_dense, /*ver=*/5,
-                             uniq, /*allow_rc=*/false, /*allow_hi=*/true);
+                             uniq, /*allow_rc=*/false, /*allow_hi=*/true, dp);
             if (alt.size() <= payloads[(size_t)b].size()) {
                 payloads[(size_t)b].swap(alt);
                 rc_off[(size_t)b] = 1;
@@ -787,7 +956,7 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
             std::vector<uint8_t> alt;
             encode_stream_v2(d.data() + lo, nb, k, alt, reset_dense, /*ver=*/5,
                              uniq, /*allow_rc=*/!rc_off[(size_t)b],
-                             /*allow_hi=*/false);
+                             /*allow_hi=*/false, dp);
             if ((double)alt.size() <= 1.005 * payloads[(size_t)b].size()) {
                 payloads[(size_t)b].swap(alt);
                 hi_off[(size_t)b] = 1;
@@ -795,7 +964,7 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
         }
     });
 
-    int64_t total = 24 + k + 4 * nblocks;
+    int64_t total = 24 + k + (canon ? k : 0) + 4 * nblocks;
     for (auto& p : payloads) {
         if (p.size() > 0x3FFFFFFFull) return -5;  // bits 30/31 carry model flags
         total += (int64_t)p.size();
@@ -804,8 +973,9 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     uint8_t* q = out;
     std::memcpy(q, kMagic, 4); q += 4;
     *q++ = 5; *q++ = (uint8_t)(k - 1);
-    // flags bit0: positional model; bit1: fast profile (RC/hi/SSE disabled)
-    *q++ = (uint8_t)((reset_dense >= 0 ? 1 : 0) | (fast ? 2 : 0));
+    // flags bit0: positional model; bit1: fast profile (RC/hi disabled);
+    // bit2: canonical depth table follows uniq
+    *q++ = (uint8_t)((reset_dense >= 0 ? 1 : 0) | (fast ? 2 : 0) | (canon ? 4 : 0));
     *q++ = reset_dense >= 0 ? (uint8_t)reset_dense : 0;
     uint64_t n64 = (uint64_t)n;
     std::memcpy(q, &n64, 8); q += 8;
@@ -813,6 +983,7 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     std::memcpy(q, &b32, 4); q += 4;
     std::memcpy(q, &nb32, 4); q += 4;
     std::memcpy(q, uniq, (size_t)k); q += k;
+    if (canon) { std::memcpy(q, depths, (size_t)k); q += k; }
     for (int64_t b = 0; b < nblocks; b++) {
         // bit31: block coded with RC gated off; bit30: hi models gated off
         uint32_t plen = (uint32_t)payloads[(size_t)b].size()
@@ -840,8 +1011,9 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
     if (version >= 3) {  // 3 = legacy blocked, 4/5 = blocked + v4/v5 model
         if (size < 24) return -1;
         int flags = blob[6];
-        if (flags > (version >= 5 ? 3 : 1)) return -1;
+        if (flags > (version >= 5 ? 7 : 1)) return -1;
         bool fast = version >= 5 && (flags & 2);
+        bool canon = version >= 5 && (flags & 4);
         int reset_dense = (flags & 1) ? blob[7] : -1;
         if (reset_dense >= k) return -1;
         uint32_t bsize, nblocks;
@@ -853,7 +1025,7 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
         // coverage + table bounds (hostile headers must fail cleanly)
         if ((uint64_t)bsize * nblocks < n) return -3;
         if ((uint64_t)bsize * (nblocks - 1) >= n && n > 0 && nblocks > 1) return -3;
-        int64_t tab = 24 + k;
+        int64_t tab = 24 + k + (canon ? k : 0);
         if (tab + 4ll * nblocks > size) return -3;
         std::vector<int64_t> off((size_t)nblocks + 1);
         std::vector<uint8_t> rc_off((size_t)nblocks, 0), hi_off((size_t)nblocks, 0);
@@ -871,6 +1043,7 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
             if (off[b + 1] > size) return -3;
         }
         const uint8_t* uniq = blob + 24;
+        const uint8_t* depths = canon ? blob + 24 + k : nullptr;
         std::atomic<int> err(0);
         // BFQ_CM_BLOCKTIME=<path>: append one per-block decode wall-time (ns)
         // per line — the measured input for thread-scaling extrapolation on
@@ -886,7 +1059,8 @@ int64_t cm_decode(const uint8_t* blob, int64_t size, uint8_t* out, int64_t out_c
                                       off[(size_t)b + 1] - off[(size_t)b], nb, k,
                                       uniq, out + lo, reset_dense, version,
                                       /*allow_rc=*/!fast && !rc_off[(size_t)b],
-                                      /*allow_hi=*/!fast && !hi_off[(size_t)b]);
+                                      /*allow_hi=*/!fast && !hi_off[(size_t)b],
+                                      depths);
             if (rc < 0) err.store(rc);
             if (bt_path)
                 block_ns[(size_t)b] = std::chrono::duration_cast<std::chrono::nanoseconds>(

@@ -287,9 +287,44 @@ def test_cm_positional_context_roundtrip_and_gain():
     data = lines.tobytes()
     plain = native.cm_encode(data)
     posb = native.cm_encode(data, pos_reset=10)
-    assert posb[6] == 1  # flags bit0
+    assert posb[6] & 1  # flags bit0 (bit2 = canonical tree may also be set)
     assert bytes(native.cm_decode(posb)) == data
     assert len(posb) < len(plain)
     # blocked + positional together
     blk = native.cm_encode(data, block_size=200_000, pos_reset=10)
     assert bytes(native.cm_decode(blk)) == data
+
+
+@pytest.mark.skipif(not native.cm_available(), reason="cm codec not built")
+def test_cm_canonical_tree_roundtrip_and_hostile_depths():
+    """v5 canonical skewed coding tree (flags bit2): skewed alphabets carry a
+    per-symbol depth table and code frequent symbols in fewer tree steps;
+    round-trips must hold and corrupt depth tables must be rejected, not
+    walked out of bounds."""
+    import struct
+
+    # heavily skewed: 'a' dominates, long tail — canonical tree engages
+    rng = np.random.default_rng(9)
+    syms = np.frombuffer(b"abcdefghij", np.uint8)
+    probs = np.array([0.6, 0.2, 0.1, 0.04, 0.02, 0.02, 0.01, 0.005, 0.004, 0.001])
+    data = rng.choice(syms, size=400_000, p=probs / probs.sum()).tobytes()
+    blob = native.cm_encode(data, threads=1)
+    assert blob[6] & 4, "canonical tree should engage on a skewed alphabet"
+    assert bytes(native.cm_decode(blob)) == data
+
+    # uniform alphabet: the encoder must NOT engage the skewed tree
+    datau = rng.choice(syms[:8], size=100_000).tobytes()
+    blobu = native.cm_encode(datau, threads=1)
+    assert not (blobu[6] & 4)
+    assert bytes(native.cm_decode(blobu)) == datau
+
+    # hostile depth tables: zero depth, kraft violation, truncated
+    k = blob[5] + 1
+    for mutate in (lambda d: 0, lambda d: 31, lambda d: d + 1):
+        bad = bytearray(blob)
+        bad[24 + k] = mutate(bad[24 + k])  # first depth byte
+        try:
+            out = native.cm_decode(bytes(bad))
+            assert out is None or len(out) >= 0  # garbage ok, crash not
+        except (ValueError, RuntimeError, MemoryError, OverflowError):
+            pass
