@@ -302,6 +302,8 @@ def smooth_fastq_external(
                 np.asarray(batch.quals[lo:hi]), ((0, 0), (0, 1))).reshape(-1)
             Spill.evict(text, lo * wp, (hi - lo) * wp)
             Spill.evict(qtext, lo * wp, (hi - lo) * wp)
+            Spill.evict(batch.seqs, lo * width, (hi - lo) * width)
+            Spill.evict(batch.quals, lo * width, (hi - lo) * width)
     else:
         k = np.arange(wp)[None, :]
         text = np.where(
@@ -350,6 +352,10 @@ def smooth_fastq_external(
         if sp is not None:
             Spill.evict(sa_store, base * 4, nloc * 4)
             Spill.evict(lcp_store, base, nloc)
+            # the input batch may itself be spill-backed (read_fastq_spill):
+            # this chunk's rows are consumed, drop their pages too
+            Spill.evict(batch.seqs, lo * width, (hi - lo) * width)
+            Spill.evict(batch.quals, lo * width, (hi - lo) * width)
         del dev
         _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
                   ci + 1, n_chunks, time.time() - t0)

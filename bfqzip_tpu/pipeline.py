@@ -174,7 +174,7 @@ def _rans_one(path: str) -> str:
 
         blob = encode_headers(data.split(b"\n")[:-1])
     else:
-        # BQZC v2's match model captures the inter-read repeat
+        # BQZC's match models capture the inter-read repeat
         # structure directly in the raw stream, so the
         # EBWT-domain BQZE transform (models/dna_ebwt.py) is no
         # longer tried here — it measured larger AND costs a
