@@ -233,7 +233,7 @@ constexpr float kLR = 0.0078125f;  // 1/128 mixing learning rate
 // per-symbol cost on matchy streams: random writes into the large match
 // tables.  16 measured best (8 lost 1.7% ratio, sparse half-rate inserts
 // lost 0.3% for no speed).
-constexpr int kSkipIns = 16;
+constexpr int kSkipIns = 48;
 
 
 struct Mixer {
@@ -531,7 +531,7 @@ inline void code_symbol_v2(ModelV2& m, std::vector<uint8_t>& data, int64_t i,
 
     // one bit of the tree decomposition at context `node`, with the match/RC
     // predicted bits pb/pbrc; enc_bit is the bit to encode (ignored on decode)
-    auto code_one = [&](int node, int pb, int pbrc, int enc_bit) -> int {
+    auto code_one = [&](int node, int pb, int pbrc, int enc_bit) __attribute__((always_inline)) -> int {
         uint16_t* ps[8];
         ps[0] = &m.p1[b1 + node];
         int j = 1;
@@ -909,7 +909,12 @@ int64_t cm_encode_blocked(const uint8_t* data, int64_t n, uint8_t* out,
     // measures instead of assuming.
     uint8_t depths[256];
     bool canon = false;
-    if (!getenv("BFQ_CM_NOCANON") && k >= 3 && k <= 256) {
+    // k <= 8 alphabets keep the balanced tree: their per-node contexts are
+    // few and well-trained, and collapsing frequent symbols to 2-step paths
+    // measured +5% DNA size for NEGATIVE speed (the balanced loop is
+    // branch-predictable); the win is large alphabets (QS k=46: -1% size,
+    // +49% decode speed — BASELINE.md)
+    if (!getenv("BFQ_CM_NOCANON") && k > 8 && k <= 256) {
         int64_t freq[256];
         for (int s = 0; s < k; s++) freq[s] = hist[uniq[s]];
         int maxd = huffman_depths(freq, k, depths);
