@@ -244,3 +244,37 @@ def test_read_fastq_spill_matches_reader():
         assert np.array_equal(got.lengths, ref.lengths), name
         assert got.headers == ref.headers, name
         sp.close()
+
+
+def test_read_fastq_spill_malformed_inputs(tmp_path):
+    """The slab parser must reject malformed FASTQ cleanly (checkFASTQ.py
+    semantics) and fall back to the whole-file reader for gzip inputs."""
+    import gzip
+
+    from bfqzip_tpu.io.spill import Spill, read_fastq_spill
+
+    sp = Spill()
+    # record bigger than the slab
+    big = tmp_path / "big.fastq"
+    big.write_bytes(b"@r\n" + b"A" * 9000 + b"\n+\n" + b"I" * 9000 + b"\n")
+    with pytest.raises(ValueError):
+        read_fastq_spill(str(big), sp, slab_bytes=4096)
+    # dna/qs length mismatch
+    bad = tmp_path / "bad.fastq"
+    bad.write_bytes(b"@r\nACGT\n+\nIII\n")
+    with pytest.raises(ValueError):
+        read_fastq_spill(str(bad), sp)
+    # truncated record count (not a multiple of 4 lines)
+    trunc = tmp_path / "trunc.fastq"
+    trunc.write_bytes(b"@r\nACGT\n+\n")
+    with pytest.raises(ValueError):
+        read_fastq_spill(str(trunc), sp)
+    # gzip falls back to the whole-file reader
+    raw = open(golden_path("example.in.fastq"), "rb").read()
+    gz = tmp_path / "r.fastq.gz"
+    gz.write_bytes(gzip.compress(raw))
+    got = read_fastq_spill(str(gz), sp, with_headers=True)
+    ref = read_fastq(golden_path("example.in.fastq"))
+    assert np.array_equal(np.asarray(got.seqs), ref.seqs)
+    assert got.headers == ref.headers
+    sp.close()
