@@ -276,6 +276,26 @@ def smooth_fastq_external(
     else:
         sp = Spill() if (n_pad >= (1 << 26) or env_spill == "1") else None
 
+    if sp is not None:
+        # a full scratch disk SIGBUSes the memmap writers mid-run — check
+        # the projected footprint up front (~19 B/pos at the merge peak:
+        # 2 text + 5 sa/lcp + 8 merge outputs + staging) and degrade to the
+        # in-RAM host path with a warning instead
+        import shutil as _shutil
+
+        free = _shutil.disk_usage(sp.dir).free
+        need = n_pad * 20
+        if free < need:
+            _LOG.warning(
+                "spill dir %s has %.1f GB free but ~%.1f GB projected; "
+                "falling back to in-RAM host arrays (set BFQ_SPILL_DIR to a "
+                "larger volume to keep host memory bounded)",
+                sp.dir, free / 1e9, need / 1e9,
+            )
+            if not isinstance(spill, Spill):
+                sp.close()
+            sp = None
+
     rep = report if report is not None else {}
 
     def mark(stage, t0):
