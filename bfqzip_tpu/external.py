@@ -284,7 +284,10 @@ def smooth_fastq_external(
         import shutil as _shutil
 
         free = _shutil.disk_usage(sp.dir).free
-        need = n_pad * 20
+        # measured peak footprint: input arrays (2 B/pos) + text/qtext (2)
+        # + sa/lcp chunks (5) + merge outputs (8) + slack — the later
+        # packed/output arrays allocate after text/sa/lcp drop
+        need = n_pad * 19
         if free < need:
             _LOG.warning(
                 "spill dir %s has %.1f GB free but ~%.1f GB projected; "
