@@ -99,7 +99,7 @@ class Spill:
             except OSError:
                 pass
 
-    def watcher(self, *names: str, interval: float = 5.0) -> "_Watcher":
+    def watcher(self, *names: str, interval: float = 1.0) -> "_Watcher":
         """Context manager: a thread that periodically evicts the named
         arrays while a long native call (the k-way merge) streams through
         them — the merge's active windows fault straight back from page
