@@ -285,9 +285,10 @@ def smooth_fastq_external(
 
         free = _shutil.disk_usage(sp.dir).free
         # measured peak footprint: input arrays (2 B/pos) + text/qtext (2)
-        # + sa/lcp chunks (5) + merge outputs (8) + slack — the later
-        # packed/output arrays allocate after text/sa/lcp drop
-        need = n_pad * 19
+        # + sa/lcp chunks (5/9) + merge outputs (8/12) + slack — the later
+        # packed/output arrays allocate after text/sa/lcp drop; 64-bit
+        # suffix positions (needed beyond 2^31 positions) add 8 B/pos
+        need = n_pad * (27 if n_pad >= (1 << 31) else 19)
         if free < need:
             _LOG.warning(
                 "spill dir %s has %.1f GB free but ~%.1f GB projected; "
@@ -340,11 +341,17 @@ def smooth_fastq_external(
     _LOG.info("stage 1: %d reads in %d device chunks of <=%d%s",
               n_reads, n_chunks, reads_per_chunk,
               f" (spill: {sp.dir})" if sp is not None else "")
+    # global suffix positions overflow int32 beyond 2^31 total positions
+    # (~21M 101bp reads); the 64-bit merge path (ext_merge_mt3) takes over —
+    # the reference's dataTypeNChar=ulong analog (parameters.h:86-96).
+    # BFQ_EXT_SA64=1 forces it for testing.
+    sa_dtype = (np.int64 if n_pad >= (1 << 31)
+                or os.environ.get("BFQ_EXT_SA64") == "1" else np.int32)
     if sp is not None:
-        sa_store = sp.alloc("sa_all", (n_pad,), np.int32)
+        sa_store = sp.alloc("sa_all", (n_pad,), sa_dtype)
         lcp_store = sp.alloc("lcp_all", (n_pad,), np.uint8)
     else:
-        sa_store = np.empty(n_pad, np.int32)
+        sa_store = np.empty(n_pad, sa_dtype)
         lcp_store = np.empty(n_pad, np.uint8)
     offs = [0]
     t0 = time.time()
@@ -366,14 +373,14 @@ def smooth_fastq_external(
         nloc = int(dev.n)
         base = offs[-1]
         sa_store[base : base + nloc] = (
-            np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(np.int32)
+            np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(sa_dtype)
         # intra-chunk LCPs (255-capped, cast on device: 1 B/pos transfer)
         # feed the merge's LCP loser tree
         lcp_store[base : base + nloc] = np.asarray(
             jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[:nloc]
         offs.append(base + nloc)
         if sp is not None:
-            Spill.evict(sa_store, base * 4, nloc * 4)
+            Spill.evict(sa_store, base * sa_store.itemsize, nloc * sa_store.itemsize)
             Spill.evict(lcp_store, base, nloc)
             # the input batch may itself be spill-backed (read_fastq_spill):
             # this chunk's rows are consumed, drop their pages too
@@ -393,7 +400,7 @@ def smooth_fastq_external(
         qs_h = sp.alloc("qs", (n,), np.uint8)
         lcp_h = sp.alloc("lcp", (n,), np.uint8)
         pre_h = sp.alloc("pre", (n,), np.uint8)
-        sa_h = sp.alloc("sa", (n,), np.int32)
+        sa_h = sp.alloc("sa", (n,), sa_dtype)
         # the merge streams k cursors through the inputs and writes the
         # outputs sequentially; a watcher thread keeps dropping finished
         # pages so the resident set stays at the active windows
@@ -487,7 +494,7 @@ def smooth_fastq_external(
             plo = (s - 1) * seg_len
             for arr in (bwt_h, qs_h, lcp_h, pre_h):
                 Spill.evict(arr, plo, seg_len)
-            Spill.evict(sa_h, plo * 4, seg_len * 4)
+            Spill.evict(sa_h, plo * sa_h.itemsize, seg_len * sa_h.itemsize)
         _LOG.info("stage 2: segment %d/%d done (%.1fs elapsed)",
                   s + 1, n_seg, time.time() - t0)
 

@@ -92,6 +92,10 @@ def _find_lib():
                     lib.ext_merge_mt2.restype = i64
                     lib.ext_merge_mt2.argtypes = [vp, vp, i64, vp, vp, vp, i32,
                                                   vp, vp, vp, vp, vp, i32]
+                if hasattr(lib, "ext_merge_mt3"):
+                    lib.ext_merge_mt3.restype = i64
+                    lib.ext_merge_mt3.argtypes = [vp, vp, i64, vp, vp, vp, i32,
+                                                  vp, vp, vp, vp, vp, i32]
             except (OSError, AttributeError):
                 continue
             _LIB = lib
@@ -273,36 +277,50 @@ def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0,
     qtext = np.ascontiguousarray(qtext, np.uint8)
     if isinstance(sa_chunks, tuple):
         sa_all, offs = sa_chunks
-        sa_all = np.ascontiguousarray(sa_all, np.int32)
+        # int64 suffix positions select the 64-bit merge (required beyond
+        # 2^31 total positions, ~21M 101bp reads)
+        sa_dtype = np.int64 if sa_all.dtype == np.int64 else np.int32
+        sa_all = np.ascontiguousarray(sa_all, sa_dtype)
         offs = np.ascontiguousarray(offs, np.int64)
         n_chunks = offs.size - 1
     else:
-        sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), np.int32)
+        sa_dtype = (np.int64
+                    if any(np.asarray(c).dtype == np.int64 for c in sa_chunks)
+                    else np.int32)
+        sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), sa_dtype)
         offs = np.zeros(len(sa_chunks) + 1, np.int64)
         np.cumsum([len(c) for c in sa_chunks], out=offs[1:])
         n_chunks = len(sa_chunks)
+    wide = sa_dtype == np.int64
+    if wide and not hasattr(lib, "ext_merge_mt3"):
+        raise RuntimeError("int64 suffix merge needs ext_merge_mt3 (rebuild native)")
     total = int(offs[-1])
     if out is not None:
         bwt, qs, lcp, pre, sa = out
         if any(a.size != total for a in out):
             raise ValueError("out arrays must have the merged total size")
+        if sa.dtype != sa_dtype:
+            raise ValueError(f"out sa dtype {sa.dtype} != input {sa_dtype}")
     else:
         bwt = np.empty(total, np.uint8)
         qs = np.empty(total, np.uint8)
         lcp = np.empty(total, np.uint8)
         pre = np.empty(total, np.uint8)
-        sa = np.empty(total, np.int32)
-    if lcp_chunks is not None and hasattr(lib, "ext_merge_mt2"):
-        if isinstance(lcp_chunks, np.ndarray):
+        sa = np.empty(total, sa_dtype)
+    if wide or (lcp_chunks is not None and hasattr(lib, "ext_merge_mt2")):
+        if lcp_chunks is None:
+            lcp_all = None
+        elif isinstance(lcp_chunks, np.ndarray):
             lcp_all = np.ascontiguousarray(lcp_chunks, np.uint8)
         else:
             lcp_all = np.ascontiguousarray(np.concatenate(lcp_chunks), np.uint8)
-        if lcp_all.size != total:
+        if lcp_all is not None and lcp_all.size != total:
             raise ValueError("lcp_chunks must align with sa_chunks")
-        rc = lib.ext_merge_mt2(
+        fn = lib.ext_merge_mt3 if wide else lib.ext_merge_mt2
+        rc = fn(
             _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
-            _ptr(sa_all), _ptr(lcp_all), _ptr(offs),
-            ctypes.c_int32(n_chunks),
+            _ptr(sa_all), _ptr(lcp_all) if lcp_all is not None else None,
+            _ptr(offs), ctypes.c_int32(n_chunks),
             _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
             ctypes.c_int32(threads),
         )

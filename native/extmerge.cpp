@@ -94,9 +94,13 @@ inline uint8_t lcp255(const uint8_t* text, int64_t n_pad, int64_t a, int64_t b) 
     return (uint8_t)i;
 }
 
+// TIdx = int32_t for workloads under 2^31 positions, int64_t beyond (the
+// reference's dataTypeNChar=ulong analog, parameters.h:60-106: 50M x 101bp
+// reads already exceed int32 global positions).
+template <typename TIdx>
 struct Cursor {
-    const int32_t* p;
-    const int32_t* end;
+    const TIdx* p;
+    const TIdx* end;
     const uint8_t* lcp;  // intra-chunk LCP of *p vs its chunk predecessor
                          // (255-capped lower bound); null when unavailable
 };
@@ -144,10 +148,11 @@ int merge_threads() {
 
 // Loser-tree merge of one output range; returns 0 or a negative error code.
 // prev_g < 0 leaves lcp_out[0] = 0 for the caller's boundary fix-up.
+template <typename TIdx>
 int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
-                std::vector<Cursor>& cur, int64_t total,
+                std::vector<Cursor<TIdx>>& cur, int64_t total,
                 uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                uint8_t* pre_out, int32_t* sa_out) {
+                uint8_t* pre_out, TIdx* sa_out) {
     int32_t n_chunks = (int32_t)cur.size();
     // internal nodes hold the LOSER chunk id, `winner` the overall minimum.
     // k is small (<= a few hundred), so the tree lives in L1; each emit
@@ -207,7 +212,7 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         uint8_t c2 = text[gp2];
         pre_out[i] = c2 == 0 ? kTermCode : (uint8_t)(c2 - 1);
         lcp_out[i] = prev_g < 0 ? 0 : lcp255(text, n_pad, prev_g, g);
-        sa_out[i] = (int32_t)g;
+        sa_out[i] = (TIdx)g;
         prev_g = g;
 
         // replay the loser tree along winner's leaf-to-root path
@@ -233,10 +238,11 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
 // next output LCP, so the per-emit lcp255 walk disappears too.  Intra-chunk
 // LCPs (cur[].lcp, from the device chunk sorts) seed the carry when a
 // cursor advances past its just-emitted predecessor.
+template <typename TIdx>
 int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
-                    std::vector<Cursor>& cur, int64_t total,
+                    std::vector<Cursor<TIdx>>& cur, int64_t total,
                     uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                    uint8_t* pre_out, int32_t* sa_out) {
+                    uint8_t* pre_out, TIdx* sa_out) {
     int32_t n_chunks = (int32_t)cur.size();
     int k = 1;
     while (k < n_chunks) k <<= 1;
@@ -298,7 +304,7 @@ int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         uint8_t c2 = text[gp2];
         pre_out[i] = c2 == 0 ? kTermCode : (uint8_t)(c2 - 1);
         lcp_out[i] = i == 0 ? 0 : (uint8_t)wlcp;
-        sa_out[i] = (int32_t)g;
+        sa_out[i] = (TIdx)g;
 
         // replay: carried cl = lcp(new head, the suffix just emitted)
         int32_t w = winner;
@@ -337,19 +343,16 @@ int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
 // Returns total merged length, negative on error.  nthreads <= 0 auto-detects
 // (BFQ_EXT_THREADS overrides).  lcp_all (nullable) holds each chunk's
 // intra-chunk 255-capped LCP aligned with sa_all; when present the merge
 // uses the LCP loser tree (no per-comparison text walks).
-int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
-                      const int32_t* sa_all, const uint8_t* lcp_all,
-                      const int64_t* offs, int32_t n_chunks,
-                      uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                      uint8_t* pre_out, int32_t* sa_out, int nthreads) {
+template <typename TIdx>
+int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                       const TIdx* sa_all, const uint8_t* lcp_all,
+                       const int64_t* offs, int32_t n_chunks,
+                       uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                       uint8_t* pre_out, TIdx* sa_out, int nthreads) {
     if (n_chunks <= 0) return -1;
     for (int32_t c = 0; c < n_chunks; c++)
         if (offs[c + 1] < offs[c]) return -2;
@@ -360,11 +363,11 @@ int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         if (sa_all[i] < 0 || sa_all[i] >= n_pad) return -4;
 
     static const uint8_t kZeroLcp = 0;
-    auto make_cursor = [&](int32_t c, int64_t s, int64_t e) -> Cursor {
+    auto make_cursor = [&](int32_t c, int64_t s, int64_t e) -> Cursor<TIdx> {
         return {sa_all + offs[c] + s, sa_all + offs[c] + e,
                 lcp_all ? lcp_all + offs[c] + s : &kZeroLcp};
     };
-    auto run_range = [&](std::vector<Cursor>& cur, int64_t len, int64_t o) {
+    auto run_range = [&](std::vector<Cursor<TIdx>>& cur, int64_t len, int64_t o) {
         return lcp_all
                    ? merge_range_lcp(text, qtext, n_pad, cur, len, bwt_out + o,
                                      qs_out + o, lcp_out + o, pre_out + o,
@@ -379,7 +382,7 @@ int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     if ((int64_t)T * 4096 > total) T = (int)(total / 4096) ? (int)(total / 4096) : 1;
 
     if (T <= 1) {
-        std::vector<Cursor> cur((size_t)n_chunks);
+        std::vector<Cursor<TIdx>> cur((size_t)n_chunks);
         for (int32_t c = 0; c < n_chunks; c++)
             cur[c] = make_cursor(c, 0, offs[c + 1] - offs[c]);
         int rc = run_range(cur, total, 0);
@@ -411,9 +414,9 @@ int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     for (int t = 1; t < T; t++) {
         int64_t spl = samples[(size_t)t * samples.size() / T];
         for (int32_t c = 0; c < n_chunks; c++) {
-            const int32_t* lo = sa_all + offs[c];
-            const int32_t* hi = sa_all + offs[c + 1];
-            const int32_t* it = std::partition_point(lo, hi, [&](int32_t g) {
+            const TIdx* lo = sa_all + offs[c];
+            const TIdx* hi = sa_all + offs[c + 1];
+            const TIdx* it = std::partition_point(lo, hi, [&](TIdx g) {
                 return suffix_less(text, n_pad, g, spl);
             });
             bounds[t][c] = it - lo;
@@ -431,7 +434,7 @@ int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         pool.emplace_back([&, t]() {
             int64_t len = out0[t + 1] - out0[t];
             if (len == 0) return;
-            std::vector<Cursor> cur((size_t)n_chunks);
+            std::vector<Cursor<TIdx>> cur((size_t)n_chunks);
             for (int32_t c = 0; c < n_chunks; c++)
                 cur[c] = make_cursor(c, bounds[t][c], bounds[t + 1][c]);
             rcs[t] = run_range(cur, len, out0[t]);
@@ -448,6 +451,33 @@ int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
             lcp_out[i] = lcp255(text, n_pad, sa_out[i - 1], sa_out[i]);
     }
     return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ext_merge_mt2(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                      const int32_t* sa_all, const uint8_t* lcp_all,
+                      const int64_t* offs, int32_t n_chunks,
+                      uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                      uint8_t* pre_out, int32_t* sa_out, int nthreads) {
+    return ext_merge_impl<int32_t>(text, qtext, n_pad, sa_all, lcp_all, offs,
+                                   n_chunks, bwt_out, qs_out, lcp_out, pre_out,
+                                   sa_out, nthreads);
+}
+
+// 64-bit suffix positions: required beyond 2^31 total positions (>~21M
+// 101bp reads; the reference's ext engine likewise sizes char positions as
+// ulong, src_ext_mem/parameters.h:86-96).
+int64_t ext_merge_mt3(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                      const int64_t* sa_all, const uint8_t* lcp_all,
+                      const int64_t* offs, int32_t n_chunks,
+                      uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                      uint8_t* pre_out, int64_t* sa_out, int nthreads) {
+    return ext_merge_impl<int64_t>(text, qtext, n_pad, sa_all, lcp_all, offs,
+                                   n_chunks, bwt_out, qs_out, lcp_out, pre_out,
+                                   sa_out, nthreads);
 }
 
 // Compatibility entry points (no intra-chunk LCPs / auto-threaded).

@@ -278,3 +278,42 @@ def test_read_fastq_spill_malformed_inputs(tmp_path):
     assert np.array_equal(np.asarray(got.seqs), ref.seqs)
     assert got.headers == ref.headers
     sp.close()
+
+
+def test_ext_merge_64bit_positions(monkeypatch):
+    """Global suffix positions overflow int32 beyond 2^31 total positions
+    (~21M 101bp reads — the 50M-read run hit this); the 64-bit merge
+    (ext_merge_mt3, the reference's dataTypeNChar=ulong analog) must be
+    byte-equal to the 32-bit path, and BFQ_EXT_SA64=1 must route the full
+    external pipeline through it."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.io.fastq import format_fastq
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    batch = read_fastq(golden_path("example.in.fastq"), with_headers=False)
+    N, W = batch.seqs.shape
+    wp = W + 1
+    text, qtext, _ = _chunked_text(batch)
+    bounds = np.linspace(0, N, 4).astype(int)
+    sa32, lcps = [], []
+    for c in range(3):
+        lo, hi = bounds[c], bounds[c + 1]
+        dev = build_ebwt(jnp.asarray(batch.seqs[lo:hi]),
+                         jnp.asarray(batch.quals[lo:hi]),
+                         jnp.asarray(batch.lengths[lo:hi]))
+        sa32.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+        lcps.append(np.minimum(np.asarray(dev.lcp), 255).astype(np.uint8)[: int(dev.n)])
+    r32 = native.ext_merge(text, qtext, sa32, threads=2, lcp_chunks=lcps)
+    r64 = native.ext_merge(text, qtext, [c.astype(np.int64) for c in sa32],
+                           threads=2, lcp_chunks=lcps)
+    assert r64[4].dtype == np.int64
+    for a, b in zip(r32, r64):
+        assert np.array_equal(np.asarray(a, np.int64), np.asarray(b, np.int64))
+
+    monkeypatch.setenv("BFQ_EXT_SA64", "1")
+    want, wstats = smooth_fastq(batch, SmoothConfig())
+    got, gstats = smooth_fastq_external(batch, SmoothConfig(), _seg_len=1500,
+                                        _reads_per_chunk=17, spill=True)
+    assert format_fastq(got) == format_fastq(want)
+    assert gstats == wstats
