@@ -432,6 +432,17 @@ def smooth_fastq_external(
         static_argnames=(),
     )
 
+    # the segment kernels carry GLOBAL positions between segments (the
+    # run-start/last-gap cummax carries in ops/smooth.cluster_words), so
+    # coordinates must stay globally consistent — beyond 2^31 positions
+    # they need int64, which requires jax x64 (the positional arrays
+    # promote to the base scalar's dtype; every other array in the kernel
+    # is explicitly dtyped, so enabling x64 changes nothing else)
+    idx_dtype = jnp.int32
+    if sa_dtype == np.int64:
+        jax.config.update("jax_enable_x64", True)
+        idx_dtype = jnp.int64
+
     def seg_slice(arr, s, fill):
         lo = s * seg_len
         hi = min(lo + seg_len + halo, n)
@@ -465,8 +476,8 @@ def smooth_fastq_external(
             seg_slice(qs_h, s, 0),
             seg_slice(lcp_h, s, 0),
             seg_slice(pre_h, s, 0),
-            jnp.int32(s * seg_len),
-            jnp.int32(n),
+            jnp.asarray(s * seg_len, idx_dtype),
+            jnp.asarray(n, idx_dtype),
             carries,
         )
         lo = s * seg_len
@@ -530,7 +541,7 @@ def smooth_fastq_external(
             jnp.asarray(close_s),
             jnp.asarray(inclu_s),
             jnp.int32(right_carry[s]),
-            jnp.int32(n - lo),
+            jnp.asarray(min(n - lo, seg_len + 1), idx_dtype),
         )
         target = (sa_h[lo:hi].astype(np.int64) - 1) % n_pad
         packed_h[target] = np.asarray(packed)[: hi - lo]
