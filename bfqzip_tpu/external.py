@@ -393,7 +393,7 @@ def smooth_fastq_external(
     rep["n_chunks"] = n_chunks
     mark("chunk_sorts", t_text)
 
-    t0 = time.time()
+    t_merge = time.time()
     offs_a = np.asarray(offs, np.int64)
     if sp is not None:
         bwt_h = sp.alloc("bwt", (n,), np.uint8)
@@ -404,20 +404,56 @@ def smooth_fastq_external(
         # the merge streams k cursors through the inputs and writes the
         # outputs sequentially; a watcher thread keeps dropping finished
         # pages so the resident set stays at the active windows
-        with sp.watcher("text", "qtext", "sa_all", "lcp_all",
-                        "bwt", "qs", "lcp", "pre", "sa"):
+        watcher = sp.watcher("text", "qtext", "sa_all", "lcp_all",
+                             "bwt", "qs", "lcp", "pre", "sa")
+        watcher.__enter__()
+    else:
+        bwt_h = np.empty(n, np.uint8)
+        qs_h = np.empty(n, np.uint8)
+        lcp_h = np.empty(n, np.uint8)
+        pre_h = np.empty(n, np.uint8)
+        sa_h = np.empty(n, sa_dtype)
+        watcher = None
+
+    # merge || smooth overlap: the host merge threads and the device
+    # smoothing segments use disjoint resources, so stage 2 consumes the
+    # merged PREFIX live (the merge workers publish per-range cursors and
+    # only mark a range complete after fixing its successor's boundary LCP).
+    # This is the genuinely-parallel counterpart of the single-chip stage
+    # overlap that measured ~0 (tools/exp_overlap.py: one XLA program at a
+    # time); here the merge wall hides behind the smoothing wall (or vice
+    # versa).  BFQ_EXT_OVERLAP=0 restores the serial stages.
+    overlap = (os.environ.get("BFQ_EXT_OVERLAP", "1") != "0"
+               and native.ext_merge_async_available())
+    merge_state = {"done": False}
+
+    def finish_merge():
+        if merge_state["done"]:
+            return
+        merge_state["done"] = True
+        nonlocal text, qtext, sa_store, lcp_store
+        if watcher is not None:
+            watcher.__exit__(None, None, None)
+            sp.evict_all("bwt", "qs", "lcp", "pre", "sa")
+        text = qtext = sa_store = lcp_store = None
+        if sp is not None:
+            sp.drop("text"); sp.drop("qtext"); sp.drop("sa_all"); sp.drop("lcp_all")
+        _LOG.info("stage 1: native k-way merge done (%.1fs)", time.time() - t_merge)
+        mark("merge", t_merge)
+
+    if overlap:
+        merge_handle = native.ext_merge_async(
+            text, qtext, (sa_store[:n], offs_a), lcp_chunks=lcp_store[:n],
+            out=(bwt_h, qs_h, lcp_h, pre_h, sa_h))
+        rep["overlap"] = True
+    else:
+        merge_handle = None
+        try:
             native.ext_merge(text, qtext, (sa_store[:n], offs_a),
                              lcp_chunks=lcp_store[:n],
                              out=(bwt_h, qs_h, lcp_h, pre_h, sa_h))
-        sp.evict_all("bwt", "qs", "lcp", "pre", "sa")
-        del text, qtext, sa_store, lcp_store
-        sp.drop("text"); sp.drop("qtext"); sp.drop("sa_all"); sp.drop("lcp_all")
-    else:
-        bwt_h, qs_h, lcp_h, pre_h, sa_h = native.ext_merge(
-            text, qtext, (sa_store[:n], offs_a), lcp_chunks=lcp_store[:n])
-        del text, qtext, sa_store, lcp_store
-    _LOG.info("stage 1: native k-way merge done (%.1fs)", time.time() - t0)
-    mark("merge", t0)
+        finally:
+            finish_merge()
 
     # ---- stage 2: streaming cluster smoothing (forward pass applies) ----
     seg_len = _seg_len or max(int(mem_bytes / _SMOOTH_BYTES_PER_POS), 1 << 16)
@@ -469,6 +505,13 @@ def smooth_fastq_external(
     carries = None
     t0 = time.time()
     for s in range(n_seg):
+        if merge_handle is not None and not merge_state["done"]:
+            # consume only the final merged prefix: this segment's window
+            # (incl. halo) must be fully merged with boundary LCPs fixed
+            merge_handle.wait_until(min((s + 1) * seg_len + halo, n))
+            if not merge_handle._thread.is_alive():
+                merge_handle.join()
+                finish_merge()
         (packed, stats, carries, fw, ac, mod, smo,
          tb, tq, tp, tpend, any_pend, fb,
          word, close, inclu) = part1(
@@ -508,6 +551,9 @@ def smooth_fastq_external(
             Spill.evict(sa_h, plo * sa_h.itemsize, seg_len * sa_h.itemsize)
         _LOG.info("stage 2: segment %d/%d done (%.1fs elapsed)",
                   s + 1, n_seg, time.time() - t0)
+    if merge_handle is not None and not merge_state["done"]:
+        merge_handle.join()
+        finish_merge()
 
     # phase B: reverse sweep of (first-close word) carries + tiny fix-ups
     right_carry = np.zeros(n_seg, np.int32)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -96,6 +97,14 @@ def _find_lib():
                     lib.ext_merge_mt3.restype = i64
                     lib.ext_merge_mt3.argtypes = [vp, vp, i64, vp, vp, vp, i32,
                                                   vp, vp, vp, vp, vp, i32]
+                if hasattr(lib, "ext_merge_mt2p"):
+                    lib.ext_merge_mt2p.restype = i64
+                    lib.ext_merge_mt2p.argtypes = [vp, vp, i64, vp, vp, vp, i32,
+                                                   vp, vp, vp, vp, vp, i32, vp]
+                if hasattr(lib, "ext_merge_mt3p"):
+                    lib.ext_merge_mt3p.restype = i64
+                    lib.ext_merge_mt3p.argtypes = [vp, vp, i64, vp, vp, vp, i32,
+                                                   vp, vp, vp, vp, vp, i32, vp]
             except (OSError, AttributeError):
                 continue
             _LIB = lib
@@ -340,6 +349,137 @@ def ext_merge(text: np.ndarray, qtext: np.ndarray, sa_chunks, threads: int = 0,
     if rc != total:
         raise RuntimeError(f"native ext_merge rc={rc} (expected {total})")
     return bwt, qs, lcp, pre, sa
+
+
+def ext_merge_async_available() -> bool:
+    lib = _find_lib()
+    return lib is not None and hasattr(lib, "ext_merge_mt2p")
+
+
+class ExtMergeHandle:
+    """A running k-way merge whose merged PREFIX can be consumed live.
+
+    merged_prefix() returns P such that every output position < P is final
+    (BWT/QS/LCP/pre/SA all written, boundary LCPs fixed — the native workers
+    only publish a range's completion after fixing its successor's first
+    LCP).  wait_until(pos) blocks until P >= pos; join() waits for the merge
+    and raises on a native error.
+    """
+
+    def __init__(self, thread, prog: np.ndarray, total: int, result: dict):
+        self._thread = thread
+        self._prog = prog
+        self._total = total
+        self._result = result
+
+    def merged_prefix(self) -> int:
+        t_used = int(self._prog[0])
+        if t_used == 0:
+            return 0
+        p = 0
+        for t in range(t_used):
+            start, end, cur = self._prog[1 + 3 * t : 4 + 3 * t]
+            if cur < end:
+                return int(max(p, min(cur, end)))
+            p = int(end)
+        return p
+
+    def wait_until(self, pos: int, poll_s: float = 0.01) -> None:
+        pos = min(pos, self._total)
+        while self.merged_prefix() < pos:
+            if not self._thread.is_alive():
+                self.join()  # raises on error; else the final prefix is set
+                return
+            time.sleep(poll_s)
+
+    def join(self) -> int:
+        self._thread.join()
+        if "error" in self._result:
+            raise self._result["error"]
+        return self._result["rc"]
+
+
+def ext_merge_async(text: np.ndarray, qtext: np.ndarray, sa_chunks,
+                    threads: int = 0, lcp_chunks=None, out=None) -> ExtMergeHandle:
+    """Start ext_merge on a background thread (the ctypes call releases the
+    GIL) and return a live-progress handle, so downstream stages can consume
+    the merged prefix while the merge runs.  Same arguments as ext_merge;
+    requires the progress-capable native entry points."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "ext_merge_mt2p"):
+        raise RuntimeError("native ext_merge progress API unavailable (make -C native)")
+    if threads <= 0:
+        env = os.environ.get("BFQ_EXT_THREADS")
+        threads = int(env) if env and int(env) > 0 else (os.cpu_count() or 2)
+
+    text = np.ascontiguousarray(text, np.uint8)
+    qtext = np.ascontiguousarray(qtext, np.uint8)
+    if isinstance(sa_chunks, tuple):
+        sa_all, offs = sa_chunks
+        sa_dtype = np.int64 if sa_all.dtype == np.int64 else np.int32
+        sa_all = np.ascontiguousarray(sa_all, sa_dtype)
+        offs = np.ascontiguousarray(offs, np.int64)
+        n_chunks = offs.size - 1
+    else:
+        sa_dtype = (np.int64
+                    if any(np.asarray(c).dtype == np.int64 for c in sa_chunks)
+                    else np.int32)
+        sa_all = np.ascontiguousarray(np.concatenate(sa_chunks), sa_dtype)
+        offs = np.zeros(len(sa_chunks) + 1, np.int64)
+        np.cumsum([len(c) for c in sa_chunks], out=offs[1:])
+        n_chunks = len(sa_chunks)
+    wide = sa_dtype == np.int64
+    if wide and not hasattr(lib, "ext_merge_mt3p"):
+        raise RuntimeError("int64 suffix merge needs ext_merge_mt3p (rebuild native)")
+    total = int(offs[-1])
+    if out is not None:
+        bwt, qs, lcp, pre, sa = out
+        if any(a.size != total for a in out):
+            raise ValueError("out arrays must have the merged total size")
+        if sa.dtype != sa_dtype:
+            raise ValueError(f"out sa dtype {sa.dtype} != input {sa_dtype}")
+    else:
+        bwt = np.empty(total, np.uint8)
+        qs = np.empty(total, np.uint8)
+        lcp = np.empty(total, np.uint8)
+        pre = np.empty(total, np.uint8)
+        sa = np.empty(total, sa_dtype)
+    if lcp_chunks is None:
+        lcp_all = None
+    elif isinstance(lcp_chunks, np.ndarray):
+        lcp_all = np.ascontiguousarray(lcp_chunks, np.uint8)
+    else:
+        lcp_all = np.ascontiguousarray(np.concatenate(lcp_chunks), np.uint8)
+    if lcp_all is not None and lcp_all.size != total:
+        raise ValueError("lcp_chunks must align with sa_chunks")
+
+    prog = np.zeros(1 + 3 * threads, np.int64)
+    fn = lib.ext_merge_mt3p if wide else lib.ext_merge_mt2p
+    result: dict = {}
+
+    def run():
+        try:
+            rc = fn(
+                _ptr(text), _ptr(qtext), ctypes.c_int64(text.size),
+                _ptr(sa_all), _ptr(lcp_all) if lcp_all is not None else None,
+                _ptr(offs), ctypes.c_int32(n_chunks),
+                _ptr(bwt), _ptr(qs), _ptr(lcp), _ptr(pre), _ptr(sa),
+                ctypes.c_int32(threads), _ptr(prog),
+            )
+            if rc != total:
+                result["error"] = RuntimeError(
+                    f"native ext_merge rc={rc} (expected {total})")
+            result["rc"] = rc
+        except BaseException as e:  # surface to join(); never die silently
+            result["error"] = e
+
+    import threading
+
+    thread = threading.Thread(target=run, daemon=True, name="ext_merge")
+    thread.start()
+    handle = ExtMergeHandle(thread, prog, total, result)
+    handle.outputs = (bwt, qs, lcp, pre, sa)
+    return handle
 
 
 def rans_decode(blob: bytes) -> Optional[np.ndarray]:

@@ -24,6 +24,7 @@
 // smoothing predecessor text[g-2], and the suffix position itself.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -146,13 +147,27 @@ int merge_threads() {
     return hc ? (int)hc : 2;
 }
 
+// Emit-progress publication: a consumer (the streaming smoother,
+// bfqzip_tpu/external.py) polls these 8-byte aligned cursors while the
+// merge threads run, so later pipeline stages can start on the merged
+// prefix before the merge finishes.  Release stores pair with the
+// consumer's acquire loads; the granularity keeps the store off the hot
+// path (one publish per kProgStep emits).
+constexpr int64_t kProgStep = 1 << 18;
+
+inline void publish(int64_t* slot, int64_t value) {
+    if (slot) __atomic_store_n(slot, value, __ATOMIC_RELEASE);
+}
+
 // Loser-tree merge of one output range; returns 0 or a negative error code.
 // prev_g < 0 leaves lcp_out[0] = 0 for the caller's boundary fix-up.
+// prog (nullable) receives the absolute output cursor abs_base + i.
 template <typename TIdx>
 int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
                 std::vector<Cursor<TIdx>>& cur, int64_t total,
                 uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                uint8_t* pre_out, TIdx* sa_out) {
+                uint8_t* pre_out, TIdx* sa_out,
+                int64_t* prog = nullptr, int64_t abs_base = 0) {
     int32_t n_chunks = (int32_t)cur.size();
     // internal nodes hold the LOSER chunk id, `winner` the overall minimum.
     // k is small (<= a few hundred), so the tree lives in L1; each emit
@@ -214,6 +229,8 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         lcp_out[i] = prev_g < 0 ? 0 : lcp255(text, n_pad, prev_g, g);
         sa_out[i] = (TIdx)g;
         prev_g = g;
+        if (prog && (i == 0 || ((i + 1) & (kProgStep - 1)) == 0))
+            publish(prog, abs_base + i + 1);
 
         // replay the loser tree along winner's leaf-to-root path
         int32_t w = winner;
@@ -226,6 +243,9 @@ int merge_range(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         }
         winner = w;
     }
+    // NB: the final cursor (abs_base + total) is published by the CALLER —
+    // a range's completion may first require its successor's boundary LCP
+    // to be fixed (see the worker epilogue in ext_merge_impl)
     return 0;
 }
 
@@ -242,7 +262,8 @@ template <typename TIdx>
 int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
                     std::vector<Cursor<TIdx>>& cur, int64_t total,
                     uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                    uint8_t* pre_out, TIdx* sa_out) {
+                    uint8_t* pre_out, TIdx* sa_out,
+                    int64_t* prog = nullptr, int64_t abs_base = 0) {
     int32_t n_chunks = (int32_t)cur.size();
     int k = 1;
     while (k < n_chunks) k <<= 1;
@@ -305,6 +326,8 @@ int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         pre_out[i] = c2 == 0 ? kTermCode : (uint8_t)(c2 - 1);
         lcp_out[i] = i == 0 ? 0 : (uint8_t)wlcp;
         sa_out[i] = (TIdx)g;
+        if (prog && (i == 0 || ((i + 1) & (kProgStep - 1)) == 0))
+            publish(prog, abs_base + i + 1);
 
         // replay: carried cl = lcp(new head, the suffix just emitted)
         int32_t w = winner;
@@ -340,6 +363,7 @@ int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         winner = w;
         wlcp = cl;
     }
+    // final cursor published by the caller (see merge_range's note)
     return 0;
 }
 
@@ -347,12 +371,21 @@ int merge_range_lcp(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
 // (BFQ_EXT_THREADS overrides).  lcp_all (nullable) holds each chunk's
 // intra-chunk 255-capped LCP aligned with sa_all; when present the merge
 // uses the LCP loser tree (no per-comparison text walks).
+// prog (nullable): live progress for a concurrent consumer.  Layout
+// (all slots 8-byte, written with release stores):
+//   prog[0]          = T, the number of output ranges (0 until the output
+//                      partition is fixed — nothing is consumable before)
+//   prog[1+3t .. ]   = {range start, range end, absolute cursor} per range
+// The merged prefix [0, P) is final where P walks ranges in order and
+// stops at the first cursor short of its end.  The caller must size prog
+// for the REQUESTED thread count; the used T never exceeds it.
 template <typename TIdx>
 int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
                        const TIdx* sa_all, const uint8_t* lcp_all,
                        const int64_t* offs, int32_t n_chunks,
                        uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
-                       uint8_t* pre_out, TIdx* sa_out, int nthreads) {
+                       uint8_t* pre_out, TIdx* sa_out, int nthreads,
+                       int64_t* prog = nullptr) {
     if (n_chunks <= 0) return -1;
     for (int32_t c = 0; c < n_chunks; c++)
         if (offs[c + 1] < offs[c]) return -2;
@@ -367,14 +400,24 @@ int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         return {sa_all + offs[c] + s, sa_all + offs[c] + e,
                 lcp_all ? lcp_all + offs[c] + s : &kZeroLcp};
     };
-    auto run_range = [&](std::vector<Cursor<TIdx>>& cur, int64_t len, int64_t o) {
+    auto run_range = [&](std::vector<Cursor<TIdx>>& cur, int64_t len, int64_t o,
+                         int64_t* pr) {
         return lcp_all
                    ? merge_range_lcp(text, qtext, n_pad, cur, len, bwt_out + o,
                                      qs_out + o, lcp_out + o, pre_out + o,
-                                     sa_out + o)
+                                     sa_out + o, pr, o)
                    : merge_range(text, qtext, n_pad, cur, len, bwt_out + o,
                                  qs_out + o, lcp_out + o, pre_out + o,
-                                 sa_out + o);
+                                 sa_out + o, pr, o);
+    };
+    auto open_ranges = [&](const std::vector<int64_t>& starts, int T_used) {
+        if (!prog) return;
+        for (int t = 0; t < T_used; t++) {
+            prog[1 + 3 * t] = starts[t];
+            prog[2 + 3 * t] = starts[t + 1];
+            publish(&prog[3 + 3 * t], starts[t]);
+        }
+        publish(&prog[0], (int64_t)T_used);
     };
 
     if (nthreads <= 0) nthreads = merge_threads();
@@ -385,7 +428,9 @@ int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         std::vector<Cursor<TIdx>> cur((size_t)n_chunks);
         for (int32_t c = 0; c < n_chunks; c++)
             cur[c] = make_cursor(c, 0, offs[c + 1] - offs[c]);
-        int rc = run_range(cur, total, 0);
+        open_ranges({0, total}, 1);
+        int rc = run_range(cur, total, 0, prog ? &prog[3] : nullptr);
+        if (rc == 0 && prog) publish(&prog[3], total);
         return rc < 0 ? rc : total;
     }
 
@@ -428,16 +473,43 @@ int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         for (int32_t c = 0; c < n_chunks; c++) out0[t] += bounds[t][c];
     if (out0[T] != total) return -5;  // partition must tile exactly
 
+    open_ranges(out0, T);
     std::vector<int> rcs((size_t)T, 0);
+    std::atomic<bool> any_err{false};
     std::vector<std::thread> pool;
     for (int t = 0; t < T; t++) {
         pool.emplace_back([&, t]() {
             int64_t len = out0[t + 1] - out0[t];
-            if (len == 0) return;
+            if (len == 0) {
+                // nothing to emit and no boundary to fix (the preceding
+                // non-empty range owns the fix at this output position)
+                if (prog) publish(&prog[3 + 3 * t], out0[t + 1]);
+                return;
+            }
             std::vector<Cursor<TIdx>> cur((size_t)n_chunks);
             for (int32_t c = 0; c < n_chunks; c++)
                 cur[c] = make_cursor(c, bounds[t][c], bounds[t + 1][c]);
-            rcs[t] = run_range(cur, len, out0[t]);
+            rcs[t] = run_range(cur, len, out0[t],
+                               prog ? &prog[3 + 3 * t] : nullptr);
+            if (rcs[t] < 0) { any_err.store(true); return; }
+            if (!prog) return;
+            // epilogue: this range's completion unlocks the NEXT non-empty
+            // range for a live consumer — but that range's first LCP slot
+            // still holds the provisional 0 written by its own thread.  Fix
+            // it here (we know our last emitted suffix = sa_out[end-1]) as
+            // soon as its first entry is visible, THEN publish completion.
+            int64_t end = out0[t + 1];
+            int tn = t + 1;
+            while (tn < T && out0[tn + 1] == out0[tn]) tn++;
+            if (end > 0 && tn < T) {
+                int64_t* next_cur = &prog[3 + 3 * tn];
+                while (__atomic_load_n(next_cur, __ATOMIC_ACQUIRE) <= end) {
+                    if (any_err.load()) return;
+                    std::this_thread::yield();
+                }
+                lcp_out[end] = lcp255(text, n_pad, sa_out[end - 1], sa_out[end]);
+            }
+            publish(&prog[3 + 3 * t], end);
         });
     }
     for (auto& th : pool) th.join();
@@ -445,6 +517,8 @@ int64_t ext_merge_impl(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
         if (rcs[t] < 0) return rcs[t];
 
     // boundary LCPs: each range's first entry vs the previous merged suffix
+    // (idempotent with the worker epilogues of the live-progress path; this
+    // serial pass is the only fixer when prog == nullptr)
     for (int t = 1; t < T; t++) {
         int64_t i = out0[t];
         if (i > 0 && i < total && out0[t + 1] > i)
@@ -478,6 +552,35 @@ int64_t ext_merge_mt3(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
     return ext_merge_impl<int64_t>(text, qtext, n_pad, sa_all, lcp_all, offs,
                                    n_chunks, bwt_out, qs_out, lcp_out, pre_out,
                                    sa_out, nthreads);
+}
+
+// Live-progress variants: prog is a caller-owned int64 array of size
+// 1 + 3*nthreads (nthreads must be EXPLICIT, > 0) that a concurrent
+// consumer polls while the merge runs — see ext_merge_impl's layout note.
+// The merged prefix [0, P) is final, P = the walk over ranges in order
+// stopping at the first cursor short of its range end.
+int64_t ext_merge_mt2p(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                       const int32_t* sa_all, const uint8_t* lcp_all,
+                       const int64_t* offs, int32_t n_chunks,
+                       uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                       uint8_t* pre_out, int32_t* sa_out, int nthreads,
+                       int64_t* prog) {
+    if (nthreads <= 0 || !prog) return -6;
+    return ext_merge_impl<int32_t>(text, qtext, n_pad, sa_all, lcp_all, offs,
+                                   n_chunks, bwt_out, qs_out, lcp_out, pre_out,
+                                   sa_out, nthreads, prog);
+}
+
+int64_t ext_merge_mt3p(const uint8_t* text, const uint8_t* qtext, int64_t n_pad,
+                       const int64_t* sa_all, const uint8_t* lcp_all,
+                       const int64_t* offs, int32_t n_chunks,
+                       uint8_t* bwt_out, uint8_t* qs_out, uint8_t* lcp_out,
+                       uint8_t* pre_out, int64_t* sa_out, int nthreads,
+                       int64_t* prog) {
+    if (nthreads <= 0 || !prog) return -6;
+    return ext_merge_impl<int64_t>(text, qtext, n_pad, sa_all, lcp_all, offs,
+                                   n_chunks, bwt_out, qs_out, lcp_out, pre_out,
+                                   sa_out, nthreads, prog);
 }
 
 // Compatibility entry points (no intra-chunk LCPs / auto-threaded).

@@ -188,6 +188,81 @@ def test_native_merge_parallel_matches_serial_large():
             assert np.array_equal(a, b), f"lcp threads={t}"
 
 
+def test_native_merge_async_progress():
+    """The live-progress merge (ext_merge_async) is byte-equal to the serial
+    merge at every thread count, its merged-prefix cursor is monotone while
+    the workers run, and wait_until() returns only once the requested prefix
+    — including the fixed boundary LCPs at splitter seams — is final."""
+    import jax.numpy as jnp
+
+    from bfqzip_tpu.io.fastq import ReadBatch
+    from bfqzip_tpu.ops.suffix import build_ebwt
+
+    if not native.ext_merge_async_available():
+        pytest.skip("progress entry points absent (rebuild native)")
+    rng = np.random.default_rng(17)
+    base = tiny_batch(rng, n_reads=400, min_len=30, max_len=48, n_frac=0.02)
+    seqs = np.concatenate([base.seqs] * 8)
+    quals = np.concatenate([base.quals] * 8)
+    lengths = np.concatenate([base.lengths] * 8)
+    batch = ReadBatch(seqs=seqs, quals=quals, lengths=lengths, headers=None)
+    text, qtext, wp = _chunked_text(batch)
+    N = seqs.shape[0]
+    bounds = np.linspace(0, N, 9).astype(int)
+    sa_chunks, lcp_chunks = [], []
+    for c in range(8):
+        lo, hi = bounds[c], bounds[c + 1]
+        dev = build_ebwt(
+            jnp.asarray(batch.seqs[lo:hi]),
+            jnp.asarray(batch.quals[lo:hi]),
+            jnp.asarray(batch.lengths[lo:hi]),
+        )
+        sa_chunks.append((np.asarray(dev.sa)[: int(dev.n)] + lo * wp).astype(np.int32))
+        lcp_chunks.append(
+            np.minimum(np.asarray(dev.lcp), 255).astype(np.uint8)[: int(dev.n)]
+        )
+    ser = native.ext_merge(text, qtext, sa_chunks, threads=1,
+                           lcp_chunks=lcp_chunks)
+    total = ser[0].size
+    for t in (1, 2, 8):
+        h = native.ext_merge_async(text, qtext, sa_chunks, threads=t,
+                                   lcp_chunks=lcp_chunks)
+        last = 0
+        while h._thread.is_alive():
+            p = h.merged_prefix()
+            assert last <= p <= total
+            last = p
+        assert h.join() == total
+        assert h.merged_prefix() == total
+        for a, b in zip(ser, h.outputs):
+            assert np.array_equal(a, b), f"threads={t}"
+    h = native.ext_merge_async(text, qtext, sa_chunks, threads=4,
+                               lcp_chunks=lcp_chunks)
+    h.wait_until(total // 2)
+    p = h.merged_prefix()
+    assert p >= total // 2
+    # everything inside the final prefix must already be byte-final
+    for a, b in zip(ser, h.outputs):
+        assert np.array_equal(a[:p], b[:p])
+    h.join()
+
+
+def test_external_overlap_off_matches_on(monkeypatch):
+    """BFQ_EXT_OVERLAP=0 (serial merge then smooth) and the default live
+    merge||smooth overlap produce identical outputs and stats."""
+    rng = np.random.default_rng(23)
+    batch = tiny_batch(rng, n_reads=200, min_len=18, max_len=26, n_frac=0.02)
+    cfg = SmoothConfig(k=4, min_cluster=3)
+    on, on_stats = smooth_fastq_external(batch, cfg, _seg_len=701,
+                                         _reads_per_chunk=23)
+    monkeypatch.setenv("BFQ_EXT_OVERLAP", "0")
+    off, off_stats = smooth_fastq_external(batch, cfg, _seg_len=701,
+                                           _reads_per_chunk=23)
+    assert np.array_equal(on.seqs, off.seqs)
+    assert np.array_equal(on.quals, off.quals)
+    assert on_stats == off_stats
+
+
 def test_native_merge_rejects_bad_sa():
     """Out-of-range suffix positions (untrusted input) must fail cleanly with
     a negative rc, never index out of bounds (round-3 hardening ask)."""
