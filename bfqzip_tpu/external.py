@@ -141,9 +141,14 @@ class SeqChunkOps:
         return jnp.sum(x[: self.seg_len])
 
 
-def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig,
+def _part1_segment(bwtpre, qs, lcp, base, n, carries, cfg: SmoothConfig,
                    seg_len: int, fix_cap: int):
     """cluster_words + apply on one [seg_len + halo] window, forward pass.
+
+    bwtpre packs the 3-bit BWT symbol (codes 0..5, pad 6) and the 3-bit
+    smoothing predecessor into one byte (bwt | pre << 3) — host->device
+    uploads dominate this stage's wall on thin links, and the pack cuts
+    them from 4 to 3 bytes per position.
 
     The decision-word broadcast (next close's word, leftward) is resolved
     over the FULL window including the halo, so a cluster closing within
@@ -159,6 +164,8 @@ def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig,
     segment)."""
     from bfqzip_tpu.ops.scan import next_marked
 
+    bwt = bwtpre & jnp.uint8(7)
+    pre = bwtpre >> jnp.uint8(3)
     ops = SeqChunkOps(int(base) if isinstance(base, int) else base, seg_len, carries)
     word, close_mark, in_cluster, stats = cluster_words(
         bwt, qs, lcp.astype(jnp.int32), n, cfg, pre, ops
@@ -206,16 +213,19 @@ def _part1_segment(bwt, qs, lcp, pre, base, n, carries, cfg: SmoothConfig,
     smo_count = jnp.sum((smoothed & valid).astype(jnp.int32))
     return (packed, stats, ops.carries_out, first_word, any_close,
             mod_count, smo_count,
-            tail(bwt_t), tail(qs_t), tail(pre_t), tail(pending),
+            tail(bwtpre[:seg_len]), tail(qs_t), tail(pending),
             any_pending, fallback,
             word, close_mark, in_cluster)
 
 
-def _fix_tail(bwt_t, qs_t, pre_t, pending, right_carry, cfg: SmoothConfig):
+def _fix_tail(bp_t, qs_t, pending, right_carry, cfg: SmoothConfig):
     """Re-apply the pending tail positions with the true carry word.
 
-    Inputs are [fix_cap] slices; with word 0 the forward pass left these
-    positions untouched, so the deltas returned here add directly."""
+    Inputs are [fix_cap] slices (bp_t = packed bwt|pre<<3); with word 0 the
+    forward pass left these positions untouched, so the deltas returned
+    here add directly."""
+    bwt_t = bp_t & jnp.uint8(7)
+    pre_t = bp_t >> jnp.uint8(3)
     w = jnp.full(bwt_t.shape, right_carry, jnp.int32)
     bwt_sub, qs_out, modified, smoothed = apply_words(bwt_t, qs_t, pre_t, w, pending, cfg)
     if cfg.binning:
@@ -355,6 +365,34 @@ def smooth_fastq_external(
         lcp_store = np.empty(n_pad, np.uint8)
     offs = [0]
     t0 = time.time()
+
+    def drain(pend):
+        """Force a dispatched chunk sort and write its results to the host."""
+        dev, lo, hi, lcp_u8, ci = pend
+        nloc = int(dev.n)
+        base = offs[-1]
+        sa_store[base : base + nloc] = (
+            np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(sa_dtype)
+        # intra-chunk LCPs (255-capped, cast on device: 1 B/pos transfer)
+        # feed the merge's LCP loser tree
+        lcp_store[base : base + nloc] = np.asarray(lcp_u8)[:nloc]
+        offs.append(base + nloc)
+        if sp is not None:
+            Spill.evict(sa_store, base * sa_store.itemsize, nloc * sa_store.itemsize)
+            Spill.evict(lcp_store, base, nloc)
+            # the input batch may itself be spill-backed (read_fastq_spill):
+            # this chunk's rows are consumed, drop their pages too
+            Spill.evict(batch.seqs, lo * width, (hi - lo) * width)
+            Spill.evict(batch.quals, lo * width, (hi - lo) * width)
+        _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
+                  ci + 1, n_chunks, time.time() - t0)
+
+    # double-buffered dispatch: chunk k+1's upload + sort are enqueued
+    # (async) BEFORE chunk k's results are downloaded, so the host packing
+    # and memmap writes overlap the device work instead of serialising
+    # after it; only the previous chunk's outputs are held on device (~12
+    # B/pos extra, inside the budget's slack)
+    pending = None
     for ci, lo in enumerate(range(0, n_reads, reads_per_chunk)):
         hi = min(lo + reads_per_chunk, n_reads)
         seqs_c = np.asarray(batch.seqs[lo:hi])
@@ -370,25 +408,14 @@ def smooth_fastq_external(
             quals_c = np.concatenate([quals_c, np.zeros((padn, width), quals_c.dtype)])
             lens_c = np.concatenate([lens_c, np.full(padn, -1, lens_c.dtype)])
         dev = build_ebwt(jnp.asarray(seqs_c), jnp.asarray(quals_c), jnp.asarray(lens_c))
-        nloc = int(dev.n)
-        base = offs[-1]
-        sa_store[base : base + nloc] = (
-            np.asarray(dev.sa)[:nloc].astype(np.int64) + lo * wp).astype(sa_dtype)
-        # intra-chunk LCPs (255-capped, cast on device: 1 B/pos transfer)
-        # feed the merge's LCP loser tree
-        lcp_store[base : base + nloc] = np.asarray(
-            jnp.minimum(dev.lcp, 255).astype(jnp.uint8))[:nloc]
-        offs.append(base + nloc)
-        if sp is not None:
-            Spill.evict(sa_store, base * sa_store.itemsize, nloc * sa_store.itemsize)
-            Spill.evict(lcp_store, base, nloc)
-            # the input batch may itself be spill-backed (read_fastq_spill):
-            # this chunk's rows are consumed, drop their pages too
-            Spill.evict(batch.seqs, lo * width, (hi - lo) * width)
-            Spill.evict(batch.quals, lo * width, (hi - lo) * width)
-        del dev
-        _LOG.info("stage 1: chunk %d/%d done (%.1fs elapsed)",
-                  ci + 1, n_chunks, time.time() - t0)
+        lcp_u8 = jnp.minimum(dev.lcp, 255).astype(jnp.uint8)
+        if pending is not None:
+            drain(pending)
+        pending = (dev, lo, hi, lcp_u8, ci)
+        del dev, lcp_u8
+    if pending is not None:
+        drain(pending)
+        pending = None
     n = offs[-1]
     rep["n_chunks"] = n_chunks
     mark("chunk_sorts", t_text)
@@ -488,6 +515,16 @@ def smooth_fastq_external(
             out = np.concatenate([out, np.full(pad, fill, arr.dtype)])
         return jnp.asarray(out)
 
+    def seg_slice_bp(s):
+        # pack bwt|pre<<3 on the host: one 3 B/pos upload instead of 4
+        lo = s * seg_len
+        hi = min(lo + seg_len + halo, n)
+        out = bwt_h[lo:hi] | (pre_h[lo:hi] << np.uint8(3))
+        pad = seg_len + halo - out.size
+        if pad:
+            out = np.concatenate([out, np.full(pad, alphabet.SIGMA, np.uint8)])
+        return jnp.asarray(out)
+
     _LOG.info("stage 2: streaming smooth over %d segments of %d", n_seg, seg_len)
     t_smooth = time.time()
     if sp is not None:
@@ -513,12 +550,11 @@ def smooth_fastq_external(
                 merge_handle.join()
                 finish_merge()
         (packed, stats, carries, fw, ac, mod, smo,
-         tb, tq, tp, tpend, any_pend, fb,
+         tb, tq, tpend, any_pend, fb,
          word, close, inclu) = part1(
-            seg_slice(bwt_h, s, alphabet.SIGMA),
+            seg_slice_bp(s),
             seg_slice(qs_h, s, 0),
             seg_slice(lcp_h, s, 0),
-            seg_slice(pre_h, s, 0),
             jnp.asarray(s * seg_len, idx_dtype),
             jnp.asarray(n, idx_dtype),
             carries,
@@ -538,8 +574,7 @@ def smooth_fastq_external(
                             np.asarray(close[:seg_len]),
                             np.asarray(inclu[:seg_len]))
         elif bool(any_pend):
-            tails[s] = (np.asarray(tb), np.asarray(tq), np.asarray(tp),
-                        np.asarray(tpend))
+            tails[s] = (np.asarray(tb), np.asarray(tq), np.asarray(tpend))
         for key, v in stats.items():
             stats_acc[key] = stats_acc.get(key, 0) + int(v)
         if sp is not None and s > 0:
@@ -565,10 +600,10 @@ def smooth_fastq_external(
 
     fix_j = jax.jit(functools.partial(_fix_tail, cfg=cfg))
     apply_j = jax.jit(functools.partial(_apply_segment, cfg=cfg, seg_len=seg_len))
-    for s, (tb, tq, tp, tpend) in tails.items():
+    for s, (tb, tq, tpend) in tails.items():
         if right_carry[s] == 0:
             continue  # no later cluster close: word 0 was already correct
-        pk, mod, smo = fix_j(jnp.asarray(tb), jnp.asarray(tq), jnp.asarray(tp),
+        pk, mod, smo = fix_j(jnp.asarray(tb), jnp.asarray(tq),
                              jnp.asarray(tpend), jnp.int32(right_carry[s]))
         lo = s * seg_len + seg_len - fix_cap
         idx = np.flatnonzero(tpend)
@@ -580,9 +615,8 @@ def smooth_fastq_external(
         lo = s * seg_len
         hi = min(lo + seg_len, n)
         packed, mod, smo = apply_j(
-            seg_slice(bwt_h, s, alphabet.SIGMA),
+            seg_slice_bp(s),
             seg_slice(qs_h, s, 0),
-            seg_slice(pre_h, s, 0),
             jnp.asarray(word_s),
             jnp.asarray(close_s),
             jnp.asarray(inclu_s),
@@ -645,7 +679,7 @@ def smooth_fastq_external(
     return out, stats_acc
 
 
-def _apply_segment(bwt, qs, pre, word, close, inclu, right_carry, n_rem,
+def _apply_segment(bwtpre, qs, word, close, inclu, right_carry, n_rem,
                    cfg: SmoothConfig, seg_len: int):
     """Phase B per segment: local decision-word broadcast + apply + pack."""
     from bfqzip_tpu.ops.scan import next_marked
@@ -653,9 +687,9 @@ def _apply_segment(bwt, qs, pre, word, close, inclu, right_carry, n_rem,
     w_local = next_marked(jnp.where(close, word, 0), close, init=0)
     seen_right = jnp.cumsum(close[::-1].astype(jnp.int32))[::-1] > 0
     w = jnp.where(seen_right, w_local, right_carry)
-    bwt_t = bwt[:seg_len]
+    bwt_t = bwtpre[:seg_len] & jnp.uint8(7)
     qs_t = qs[:seg_len]
-    pre_t = pre[:seg_len]
+    pre_t = bwtpre[:seg_len] >> jnp.uint8(3)
     bwt_sub, qs_out, modified, smoothed = apply_words(bwt_t, qs_t, pre_t, w, inclu, cfg)
     if cfg.binning:
         qs_out = illumina_bin_jax(qs_out)
